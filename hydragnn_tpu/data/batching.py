@@ -1,0 +1,209 @@
+"""Padded static-shape batching.
+
+The TPU replacement for the reference's PyG dataloader collation
+(``hydragnn/preprocess/load_data.py:226-334``): every batch is padded to
+fixed (n_node, n_edge, n_graph) so each step reuses one compiled
+executable.  Follows the jraph convention of one reserved padding graph /
+node (see graphs.py docstring).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from hydragnn_tpu.data.sample import GraphSample
+from hydragnn_tpu.graphs import GraphBatch
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def compute_batch_dims(
+    samples: Sequence[GraphSample],
+    batch_size: int,
+    node_multiple: int = 8,
+    edge_multiple: int = 8,
+) -> Tuple[int, int, int]:
+    """Static (n_node, n_edge, n_graph) covering any batch of ``batch_size``
+    samples, rounded up to TPU-friendly multiples, +1 padding slot each."""
+    max_n = max(s.num_nodes for s in samples)
+    max_e = max(max(s.num_edges, 1) for s in samples)
+    n_node = _round_up(batch_size * max_n + 1, node_multiple)
+    n_edge = _round_up(batch_size * max_e + 1, edge_multiple)
+    n_graph = batch_size + 1
+    return n_node, n_edge, n_graph
+
+
+def collate(
+    samples: Sequence[GraphSample],
+    n_node: int,
+    n_edge: int,
+    n_graph: int,
+) -> GraphBatch:
+    """Pack samples into one padded GraphBatch (host-side numpy)."""
+    bs = len(samples)
+    assert bs < n_graph, "need >=1 padding graph"
+    tot_nodes = sum(s.num_nodes for s in samples)
+    tot_edges = sum(s.num_edges for s in samples)
+    assert tot_nodes < n_node, f"nodes {tot_nodes} overflow padding {n_node}"
+    assert tot_edges <= n_edge, f"edges {tot_edges} overflow padding {n_edge}"
+
+    f_in = samples[0].x.shape[1] if samples[0].x.ndim == 2 else 1
+    x = np.zeros((n_node, f_in), np.float32)
+    pos = np.zeros((n_node, 3), np.float32)
+    node_graph = np.full((n_node,), n_graph - 1, np.int32)
+    node_mask = np.zeros((n_node,), bool)
+    senders = np.full((n_edge,), n_node - 1, np.int32)
+    receivers = np.full((n_edge,), n_node - 1, np.int32)
+    edge_mask = np.zeros((n_edge,), bool)
+    graph_mask = np.zeros((n_graph,), bool)
+    n_per_graph = np.zeros((n_graph,), np.int32)
+    dataset_id = np.zeros((n_graph,), np.int32)
+
+    def _opt(field, shape, dtype=np.float32):
+        if getattr(samples[0], field) is None:
+            return None
+        return np.zeros(shape, dtype)
+
+    ea0 = samples[0].edge_attr
+    edge_attr = None if ea0 is None else np.zeros((n_edge, ea0.shape[1]), np.float32)
+    es0 = samples[0].edge_shifts
+    edge_shifts = None if es0 is None else np.zeros((n_edge, 3), np.float32)
+    cell = (
+        None
+        if samples[0].cell is None
+        else np.tile(np.eye(3, dtype=np.float32), (n_graph, 1, 1))
+    )
+    yg0 = samples[0].y_graph
+    y_graph = None if yg0 is None else np.zeros((n_graph, yg0.shape[-1]), np.float32)
+    yn0 = samples[0].y_node
+    y_node = (
+        None
+        if yn0 is None
+        else np.zeros((n_node, yn0.reshape(yn0.shape[0], -1).shape[-1]), np.float32)
+    )
+    ga0 = samples[0].graph_attr
+    graph_attr = (
+        None if ga0 is None else np.zeros((n_graph, np.asarray(ga0).size), np.float32)
+    )
+    pe0 = samples[0].pe
+    pe = None if pe0 is None else np.zeros((n_node, pe0.shape[-1]), np.float32)
+    rpe0 = samples[0].rel_pe
+    rel_pe = None if rpe0 is None else np.zeros((n_edge, rpe0.shape[-1]), np.float32)
+    energy = None if samples[0].energy is None else np.zeros((n_graph,), np.float32)
+    forces = None if samples[0].forces is None else np.zeros((n_node, 3), np.float32)
+
+    node_off = 0
+    edge_off = 0
+    for g, s in enumerate(samples):
+        n, e = s.num_nodes, s.num_edges
+        sl = slice(node_off, node_off + n)
+        x[sl] = s.x.reshape(n, -1)
+        pos[sl] = s.pos
+        node_graph[sl] = g
+        node_mask[sl] = True
+        el = slice(edge_off, edge_off + e)
+        if e:
+            senders[el] = s.edge_index[0] + node_off
+            receivers[el] = s.edge_index[1] + node_off
+            edge_mask[el] = True
+            if edge_attr is not None:
+                edge_attr[el] = s.edge_attr
+            if edge_shifts is not None and s.edge_shifts is not None:
+                edge_shifts[el] = s.edge_shifts
+            if rel_pe is not None:
+                rel_pe[el] = s.rel_pe
+        graph_mask[g] = True
+        n_per_graph[g] = n
+        dataset_id[g] = s.dataset_id
+        if cell is not None and s.cell is not None:
+            cell[g] = s.cell
+        if y_graph is not None:
+            y_graph[g] = s.y_graph
+        if y_node is not None:
+            y_node[sl] = s.y_node.reshape(n, -1)
+        if graph_attr is not None:
+            graph_attr[g] = np.asarray(s.graph_attr).reshape(-1)
+        if pe is not None:
+            pe[sl] = s.pe
+        if energy is not None:
+            energy[g] = s.energy
+        if forces is not None:
+            forces[sl] = s.forces
+        node_off += n
+        edge_off += e
+
+    return GraphBatch(
+        x=x,
+        pos=pos,
+        node_graph=node_graph,
+        node_mask=node_mask,
+        senders=senders,
+        receivers=receivers,
+        edge_mask=edge_mask,
+        graph_mask=graph_mask,
+        n_per_graph=n_per_graph,
+        edge_attr=edge_attr,
+        edge_shifts=edge_shifts,
+        cell=cell,
+        y_graph=y_graph,
+        y_node=y_node,
+        graph_attr=graph_attr,
+        dataset_id=dataset_id,
+        pe=pe,
+        rel_pe=rel_pe,
+        energy=energy,
+        forces=forces,
+    )
+
+
+class PaddedBatcher:
+    """Minimal epoch iterator yielding fixed-shape GraphBatches.
+
+    The analogue of the reference's DataLoader+DistributedSampler
+    (``load_data.py:252-334``); sharding over hosts/devices is layered on
+    top in ``parallel``.
+    """
+
+    def __init__(
+        self,
+        samples: Sequence[GraphSample],
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = False,
+        dims: Optional[Tuple[int, int, int]] = None,
+    ):
+        self.samples = list(samples)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.epoch = 0
+        self.dims = dims or compute_batch_dims(self.samples, batch_size)
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.samples)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[GraphBatch]:
+        idx = np.arange(len(self.samples))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        n_node, n_edge, n_graph = self.dims
+        for start in range(0, len(idx), self.batch_size):
+            chunk = idx[start : start + self.batch_size]
+            if len(chunk) < self.batch_size and self.drop_last:
+                break
+            yield collate(
+                [self.samples[i] for i in chunk], n_node, n_edge, n_graph
+            )

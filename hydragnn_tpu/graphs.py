@@ -1,0 +1,142 @@
+"""Statically-shaped batched-graph container (the TPU-native analogue of
+PyG ``Data``/``Batch`` used throughout the reference, e.g.
+``hydragnn/models/Base.py:697-846``).
+
+Design notes (TPU-first, not a port):
+
+* All arrays are padded to static shapes so that every train/eval step hits
+  the same XLA executable.  Variable node/edge counts (which the reference
+  handles with dynamic torch tensors) become masks.
+* Following the jraph padding convention, a batch always reserves at least
+  one padding graph (the last graph slot) and one padding node (the last
+  node slot):
+
+    - padding nodes have ``node_graph == n_graph - 1``
+    - padding edges have ``senders == receivers == n_node - 1``
+
+  so segment-reductions dump garbage only into padding slots, which are
+  masked out of every loss/statistic.
+* Targets: the reference packs all heads into a flat ``data.y`` plus a
+  ``y_loc`` offset table and recovers per-head slices with host-side index
+  math every step (``train_validate_test.py:494-557``).  Here targets are
+  packed **per level** at batch-build time: graph-head targets are columns
+  of ``y_graph [n_graph, sum(graph head dims)]`` and node-head targets are
+  columns of ``y_node [n_node, sum(node head dims)]`` -- static-shape
+  friendly and zero per-step index math.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+@struct.dataclass
+class GraphBatch:
+    """A padded batch of graphs as a JAX pytree.
+
+    Shapes: N = padded node count, E = padded edge count, G = padded graph
+    count (>= real graphs + 1).
+    """
+
+    # --- node level ---
+    x: jnp.ndarray  # [N, F_in] invariant node features
+    pos: jnp.ndarray  # [N, 3] positions (zeros if absent)
+    node_graph: jnp.ndarray  # [N] int32: node -> graph id (padding -> G-1)
+    node_mask: jnp.ndarray  # [N] bool
+
+    # --- edge level (COO; messages flow senders -> receivers) ---
+    senders: jnp.ndarray  # [E] int32 (reference edge_index[0])
+    receivers: jnp.ndarray  # [E] int32 (reference edge_index[1])
+    edge_mask: jnp.ndarray  # [E] bool
+
+    # --- graph level ---
+    graph_mask: jnp.ndarray  # [G] bool
+    n_per_graph: jnp.ndarray  # [G] int32: real node count per graph
+
+    # --- optional fields ---
+    edge_attr: Optional[jnp.ndarray] = None  # [E, F_e]
+    edge_shifts: Optional[jnp.ndarray] = None  # [E, 3] PBC cell shifts (Cartesian)
+    cell: Optional[jnp.ndarray] = None  # [G, 3, 3] lattice vectors (rows)
+    y_graph: Optional[jnp.ndarray] = None  # [G, sum graph-head dims]
+    y_node: Optional[jnp.ndarray] = None  # [N, sum node-head dims]
+    graph_attr: Optional[jnp.ndarray] = None  # [G, A] conditioning features
+    dataset_id: Optional[jnp.ndarray] = None  # [G] int32 branch/dataset id
+    pe: Optional[jnp.ndarray] = None  # [N, pe_dim] Laplacian PE (for GPS)
+    rel_pe: Optional[jnp.ndarray] = None  # [E, pe_dim] relative PE (for GPS)
+    energy: Optional[jnp.ndarray] = None  # [G] reference total energy (MLIP)
+    forces: Optional[jnp.ndarray] = None  # [N, 3] reference forces (MLIP)
+
+    # ------------------------------------------------------------------
+    @property
+    def n_node(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def n_edge(self) -> int:
+        return self.senders.shape[0]
+
+    @property
+    def n_graph(self) -> int:
+        return self.graph_mask.shape[0]
+
+    @property
+    def num_real_graphs(self) -> jnp.ndarray:
+        return jnp.sum(self.graph_mask.astype(jnp.int32))
+
+    @property
+    def num_real_nodes(self) -> jnp.ndarray:
+        return jnp.sum(self.node_mask.astype(jnp.int32))
+
+    @property
+    def num_real_edges(self) -> jnp.ndarray:
+        return jnp.sum(self.edge_mask.astype(jnp.int32))
+
+    def in_degree(self) -> jnp.ndarray:
+        """Per-node count of incoming (real) edges. [N] int32."""
+        ones = self.edge_mask.astype(jnp.int32)
+        return jnp.zeros((self.n_node,), jnp.int32).at[self.receivers].add(ones)
+
+    def edge_vectors(self) -> jnp.ndarray:
+        """Relative edge vectors r_j - r_i (+ PBC shift), [E, 3].
+
+        Mirrors reference ``get_edge_vectors_and_lengths`` semantics
+        (``hydragnn/utils/model/operations.py``): vec = pos[receiver] -
+        pos[sender] + shift.
+        """
+        vec = self.pos[self.receivers] - self.pos[self.senders]
+        if self.edge_shifts is not None:
+            vec = vec + self.edge_shifts
+        return vec
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pad_graph_batch(
+    batch: Dict[str, np.ndarray],
+    n_node: int,
+    n_edge: int,
+    n_graph: int,
+) -> Dict[str, np.ndarray]:
+    """Pad a host-side dense batch dict (see data.batching) to static sizes."""
+    raise NotImplementedError("use hydragnn_tpu.data.batching.collate")
+
+
+def graph_segment_mean(
+    values: jnp.ndarray, graph: "GraphBatch", node_values_masked: bool = False
+) -> jnp.ndarray:
+    """Mean-pool node values per graph, padding-correct. [N,F] -> [G,F].
+
+    Equivalent of reference ``global_mean_pool`` (``Base.py:733-738``) but
+    mask-aware: divides by the true per-graph node count.
+    """
+    mask = graph.node_mask.astype(values.dtype)[:, None]
+    summed = jnp.zeros((graph.n_graph, values.shape[-1]), values.dtype)
+    summed = summed.at[graph.node_graph].add(values * mask)
+    counts = jnp.maximum(graph.n_per_graph.astype(values.dtype), 1.0)[:, None]
+    return summed / counts

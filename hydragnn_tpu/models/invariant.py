@@ -1,0 +1,396 @@
+"""Invariant message-passing stacks: GIN, SAGE, MFC, CGCNN, PNA, GAT.
+
+Each conv is a from-scratch JAX re-derivation of the corresponding PyG
+operator semantics used by the reference stacks (``hydragnn/models/
+{GIN,SAGE,MFC,CGCNN,PNA,GAT}Stack.py``), built on masked segment primitives:
+gather(src) -> edge function -> segment-reduce(dst).  No torch/PyG code.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from hydragnn_tpu.graphs import GraphBatch
+from hydragnn_tpu.models.base import MLP, ConvStack
+from hydragnn_tpu.ops import (
+    segment_max,
+    segment_mean,
+    segment_min,
+    segment_std,
+    segment_sum,
+)
+from hydragnn_tpu.ops.segment import segment_count
+
+
+# ---------------------------------------------------------------------------
+# GIN  (reference GINStack.py:26-45; PyG GINConv with eps=100, train_eps)
+# ---------------------------------------------------------------------------
+
+
+class GINConv(nn.Module):
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, graph: GraphBatch, inv, equiv, ctx, train: bool = False):
+        eps = self.param("eps", lambda key: jnp.asarray(100.0, jnp.float32))
+        agg = segment_sum(
+            inv[graph.senders], graph.receivers, graph.n_node, mask=graph.edge_mask
+        )
+        h = (1.0 + eps) * inv + agg
+        # PyG GINConv nn = Linear -> ReLU -> Linear (GINStack.py:28-34)
+        h = MLP((self.out_dim, self.out_dim), activation="relu")(h)
+        return h, equiv
+
+
+class GINStack(ConvStack):
+    is_edge_model: bool = False
+
+    def make_conv(self, in_dim, out_dim, edge_dim=None, last_layer=False, name=None):
+        return GINConv(out_dim=out_dim, name=name)
+
+
+# ---------------------------------------------------------------------------
+# SAGE  (reference SAGEStack.py; PyG SAGEConv defaults: mean aggr)
+# ---------------------------------------------------------------------------
+
+
+class SAGEConv(nn.Module):
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, graph: GraphBatch, inv, equiv, ctx, train: bool = False):
+        agg = segment_mean(
+            inv[graph.senders], graph.receivers, graph.n_node, mask=graph.edge_mask
+        )
+        out = nn.Dense(self.out_dim, name="lin_l")(agg) + nn.Dense(
+            self.out_dim, use_bias=False, name="lin_r"
+        )(inv)
+        return out, equiv
+
+
+class SAGEStack(ConvStack):
+    is_edge_model: bool = False
+
+    def make_conv(self, in_dim, out_dim, edge_dim=None, last_layer=False, name=None):
+        return SAGEConv(out_dim=out_dim, name=name)
+
+
+# ---------------------------------------------------------------------------
+# MFC  (reference MFCStack.py; PyG MFConv: per-degree root+neighbor weights)
+# ---------------------------------------------------------------------------
+
+
+class MFCConv(nn.Module):
+    in_dim: int
+    out_dim: int
+    max_degree: int
+
+    @nn.compact
+    def __call__(self, graph: GraphBatch, inv, equiv, ctx, train: bool = False):
+        deg = jnp.clip(graph.in_degree(), 0, self.max_degree)  # [N]
+        agg = segment_sum(
+            inv[graph.senders], graph.receivers, graph.n_node, mask=graph.edge_mask
+        )
+        nd = self.max_degree + 1
+        # one weight bank per degree: [nd, in, out]
+        w_nei = self.param(
+            "w_nei", nn.initializers.lecun_normal(), (nd, self.in_dim, self.out_dim)
+        )
+        w_root = self.param(
+            "w_root", nn.initializers.lecun_normal(), (nd, self.in_dim, self.out_dim)
+        )
+        b = self.param("bias", nn.initializers.zeros, (nd, self.out_dim))
+        onehot = jax.nn.one_hot(deg, nd, dtype=inv.dtype)  # [N, nd]
+        # per-node weight selection via one-hot matmul keeps everything on MXU
+        wn = jnp.einsum("nd,dio->nio", onehot, w_nei)
+        wr = jnp.einsum("nd,dio->nio", onehot, w_root)
+        bb = onehot @ b
+        out = (
+            jnp.einsum("ni,nio->no", agg, wn)
+            + jnp.einsum("ni,nio->no", inv, wr)
+            + bb
+        )
+        return out, equiv
+
+
+class MFCStack(ConvStack):
+    is_edge_model: bool = False
+
+    def make_conv(self, in_dim, out_dim, edge_dim=None, last_layer=False, name=None):
+        return MFCConv(
+            in_dim=in_dim,
+            out_dim=out_dim,
+            max_degree=self.cfg.max_neighbours,
+            name=name,
+        )
+
+
+# ---------------------------------------------------------------------------
+# CGCNN  (reference CGCNNStack.py; PyG CGConv: gated residual conv, aggr add)
+# ---------------------------------------------------------------------------
+
+
+class CGConv(nn.Module):
+    channels: int
+
+    @nn.compact
+    def __call__(self, graph: GraphBatch, inv, equiv, ctx, train: bool = False):
+        zs = [inv[graph.senders], inv[graph.receivers]]
+        ea = ctx.get("edge_attr")
+        if ea is not None:
+            zs.append(ea.astype(inv.dtype))
+        z = jnp.concatenate(zs, axis=-1)
+        gate = jax.nn.sigmoid(nn.Dense(self.channels, name="lin_f")(z))
+        core = jax.nn.softplus(nn.Dense(self.channels, name="lin_s")(z))
+        msg = gate * core
+        agg = segment_sum(msg, graph.receivers, graph.n_node, mask=graph.edge_mask)
+        return inv + agg, equiv
+
+
+class CGCNNStack(ConvStack):
+    is_edge_model: bool = True
+    # CGConv keeps channel width == input width (CGCNNStack.py:33-46)
+    fixed_width: bool = True
+
+    def make_conv(self, in_dim, out_dim, edge_dim=None, last_layer=False, name=None):
+        return CGConv(channels=in_dim, name=name)
+
+
+# ---------------------------------------------------------------------------
+# PNA  (reference PNAStack.py: aggregators mean/min/max/std, scalers
+#       identity/amplification/attenuation/linear, degree histogram)
+# ---------------------------------------------------------------------------
+
+
+def pna_degree_stats(deg_hist) -> Dict[str, float]:
+    """avg-degree statistics from the training-set degree histogram
+    (PyG PNAConv convention: bins weighted by counts; log uses d+1)."""
+    hist = np.asarray(deg_hist, dtype=np.float64)
+    bins = np.arange(len(hist), dtype=np.float64)
+    total = max(hist.sum(), 1.0)
+    return {
+        "lin": float((bins * hist).sum() / total),
+        "log": float((np.log(bins + 1.0) * hist).sum() / total),
+    }
+
+
+class PNAConv(nn.Module):
+    in_dim: int
+    out_dim: int
+    avg_deg_lin: float
+    avg_deg_log: float
+    edge_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, graph: GraphBatch, inv, equiv, ctx, train: bool = False):
+        E, N = graph.n_edge, graph.n_node
+        parts = [inv[graph.receivers], inv[graph.senders]]
+        ea = ctx.get("edge_attr")
+        if self.edge_dim is not None and self.edge_dim > 0 and ea is not None:
+            parts.append(
+                nn.Dense(self.in_dim, name="edge_encoder")(ea.astype(inv.dtype))
+            )
+        h = jnp.concatenate(parts, axis=-1)
+        # pre_layers=1, towers=1, divide_input=False (PNAStack.py:44-54)
+        h = nn.Dense(self.in_dim, name="pre_nn")(h)
+
+        aggs = [
+            segment_mean(h, graph.receivers, N, mask=graph.edge_mask),
+            segment_min(h, graph.receivers, N, mask=graph.edge_mask),
+            segment_max(h, graph.receivers, N, mask=graph.edge_mask),
+            segment_std(h, graph.receivers, N, mask=graph.edge_mask),
+        ]
+        out = jnp.concatenate(aggs, axis=-1)  # [N, 4*in]
+
+        deg = segment_count(
+            graph.receivers, N, mask=graph.edge_mask, dtype=inv.dtype
+        )
+        logd = jnp.log(deg + 1.0)
+        amp = (logd / self.avg_deg_log)[:, None]
+        att = (self.avg_deg_log / jnp.maximum(logd, 1e-12))[:, None]
+        linear = (deg / max(self.avg_deg_lin, 1e-12))[:, None]
+        scaled = jnp.concatenate([out, out * amp, out * att, out * linear], axis=-1)
+
+        # post tower: concat root features (PyG PNAConv), post_layers=1
+        z = jnp.concatenate([inv, scaled], axis=-1)
+        z = nn.Dense(self.out_dim, name="post_nn")(z)
+        return nn.Dense(self.out_dim, name="lin")(z), equiv
+
+
+class PNAStack(ConvStack):
+    is_edge_model: bool = True
+
+    def make_conv(self, in_dim, out_dim, edge_dim=None, last_layer=False, name=None):
+        stats = pna_degree_stats(self.cfg.pna_deg)
+        return PNAConv(
+            in_dim=in_dim,
+            out_dim=out_dim,
+            avg_deg_lin=stats["lin"],
+            avg_deg_log=stats["log"],
+            edge_dim=edge_dim,
+            name=name,
+        )
+
+
+# ---------------------------------------------------------------------------
+# GAT  (reference GATStack.py: GATv2, heads=6, slope=0.05, self-loops,
+#       concat heads on hidden layers, average on the last)
+# ---------------------------------------------------------------------------
+
+
+class GATv2Conv(nn.Module):
+    out_dim: int
+    heads: int = 6
+    negative_slope: float = 0.05
+    concat: bool = True
+    dropout: float = 0.25
+    edge_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, graph: GraphBatch, inv, equiv, ctx, train: bool = False):
+        H, F = self.heads, self.out_dim
+        N = graph.n_node
+        x_l = nn.Dense(H * F, name="lin_l")(inv).reshape(N, H, F)  # source proj
+        x_r = nn.Dense(H * F, name="lin_r")(inv).reshape(N, H, F)  # target proj
+        att = self.param("att", nn.initializers.lecun_normal(), (1, H, F))
+
+        pre = x_l[graph.senders] + x_r[graph.receivers]  # [E, H, F]
+        ea = ctx.get("edge_attr")
+        use_edge = self.edge_dim is not None and self.edge_dim > 0 and ea is not None
+        if use_edge:
+            lin_edge = nn.Dense(H * F, use_bias=False, name="lin_edge")
+            e_proj = lin_edge(ea.astype(inv.dtype)).reshape(-1, H, F)
+            pre = pre + e_proj
+        logits = jnp.sum(
+            jax.nn.leaky_relu(pre, self.negative_slope) * att, axis=-1
+        )  # [E, H]
+
+        # self loops (add_self_loops=True): virtual edge (i,i); edge_attr fill
+        # 'mean' = mean of incoming real edge attrs (PyG fill_value="mean")
+        self_pre = x_l + x_r
+        if use_edge:
+            ea_mean = segment_mean(
+                ea.astype(inv.dtype), graph.receivers, N, mask=graph.edge_mask
+            )
+            self_pre = self_pre + lin_edge(ea_mean).reshape(N, H, F)
+        self_logits = jnp.sum(
+            jax.nn.leaky_relu(self_pre, self.negative_slope) * att, axis=-1
+        )  # [N, H]
+
+        # segment softmax over {incoming edges} U {self loop} per node
+        neg = jnp.finfo(logits.dtype).min
+        logits_m = jnp.where(graph.edge_mask[:, None], logits, neg)
+        edge_max = segment_max(logits_m, graph.receivers, N, mask=graph.edge_mask,
+                               empty_value=neg)
+        m = jnp.maximum(edge_max, self_logits)  # [N, H]
+        exp_e = jnp.where(
+            graph.edge_mask[:, None],
+            jnp.exp(logits - m[graph.receivers]),
+            0.0,
+        )
+        exp_s = jnp.exp(self_logits - m)
+        if train and self.dropout > 0.0:
+            key = self.make_rng("dropout")
+            k1, k2 = jax.random.split(key)
+            keep = 1.0 - self.dropout
+            exp_e = exp_e * jax.random.bernoulli(k1, keep, exp_e.shape) / keep
+            exp_s = exp_s * jax.random.bernoulli(k2, keep, exp_s.shape) / keep
+        denom = segment_sum(exp_e, graph.receivers, N) + exp_s  # [N, H]
+        denom = jnp.maximum(denom, 1e-16)
+
+        num = segment_sum(
+            exp_e[..., None] * x_l[graph.senders], graph.receivers, N
+        ) + exp_s[..., None] * x_l  # [N, H, F]
+        out = num / denom[..., None]
+
+        bias_dim = H * F if self.concat else F
+        bias = self.param("bias", nn.initializers.zeros, (bias_dim,))
+        if self.concat:
+            return out.reshape(N, H * F) + bias, equiv
+        return jnp.mean(out, axis=1) + bias, equiv
+
+
+class GATStack(ConvStack):
+    is_edge_model: bool = True
+
+    def conv_layer_specs(self, embed_dim, edge_embed_dim) -> List[Dict]:
+        """GATStack.py:41-112: concat heads (width hidden*heads) on all but
+        the last layer; with GPS, concat output is projected back to hidden."""
+        cfg = self.cfg
+        heads = 6
+        specs = []
+        gps = bool(cfg.global_attn_engine)
+        hidden_in = cfg.hidden_dim if gps else cfg.hidden_dim * heads
+        norm_hidden = cfg.hidden_dim if gps else cfg.hidden_dim * heads
+        specs.append(
+            {
+                "conv": dict(
+                    in_dim=embed_dim,
+                    out_dim=cfg.hidden_dim,
+                    edge_dim=edge_embed_dim,
+                    concat=True,
+                ),
+                "norm_dim": norm_hidden,
+            }
+        )
+        for _ in range(cfg.num_conv_layers - 2):
+            specs.append(
+                {
+                    "conv": dict(
+                        in_dim=hidden_in,
+                        out_dim=cfg.hidden_dim,
+                        edge_dim=edge_embed_dim,
+                        concat=True,
+                    ),
+                    "norm_dim": norm_hidden,
+                }
+            )
+        specs.append(
+            {
+                "conv": dict(
+                    in_dim=hidden_in,
+                    out_dim=cfg.hidden_dim,
+                    edge_dim=edge_embed_dim,
+                    concat=False,
+                ),
+                "norm_dim": cfg.hidden_dim,
+            }
+        )
+        return specs[: max(1, cfg.num_conv_layers)]
+
+    def make_conv(
+        self, in_dim, out_dim, edge_dim=None, last_layer=False, concat=None, name=None
+    ):
+        if concat is None:
+            concat = not last_layer
+        conv = GATv2Conv(
+            out_dim=out_dim,
+            heads=6,
+            negative_slope=0.05,
+            concat=concat,
+            dropout=self.cfg.dropout,
+            edge_dim=edge_dim,
+            name=name,
+        )
+        if self.cfg.global_attn_engine and concat:
+            return _GATProjected(conv=conv, hidden_dim=self.cfg.hidden_dim,
+                                 name=(name + "_proj") if name else None)
+        return conv
+
+
+class _GATProjected(nn.Module):
+    """GAT conv followed by a Linear back to hidden_dim (GATStack.py:185-188,
+    needed so GPS sees a constant channel width)."""
+
+    conv: nn.Module
+    hidden_dim: int
+
+    @nn.compact
+    def __call__(self, graph, inv, equiv, ctx, train: bool = False):
+        out, eq = self.conv(graph, inv, equiv, ctx, train=train)
+        return nn.Dense(self.hidden_dim, name="out_lin")(out), eq

@@ -1,0 +1,221 @@
+"""Config-driven train / validate / test loop.
+
+TPU-native analogue of the reference epoch loop
+(``hydragnn/train/train_validate_test.py:185-491``): per-epoch
+train -> validate -> test, ReduceLROnPlateau on the validation loss
+(factor 0.5, patience 5, min_lr 1e-5 -- ``run_training.py:119-121``),
+EarlyStopping, best-validation checkpointing with warmup.
+
+The whole train step (forward, loss, backward, optimizer update, BatchNorm
+stat update) is one jitted function; batches have static shapes so the
+executable is compiled once per (model, padding) pair.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from hydragnn_tpu.graphs import GraphBatch
+from hydragnn_tpu.models.base import ConvStack
+from hydragnn_tpu.train.optimizer import (
+    get_learning_rate,
+    make_optimizer,
+    set_learning_rate,
+)
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class Trainer:
+    """Owns the jitted steps for one model + optimizer."""
+
+    def __init__(self, model: ConvStack, opt_config: Dict, seed: int = 0):
+        self.model = model
+        self.tx = make_optimizer(opt_config)
+        self.seed = seed
+
+        @jax.jit
+        def _train_step(state: TrainState, batch: GraphBatch):
+            rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), state.step)
+
+            def loss_fn(params):
+                out, mutated = self.model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    batch,
+                    train=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": rng},
+                )
+                tot, tasks = self.model.loss(out, batch)
+                return tot, (tasks, mutated["batch_stats"])
+
+            (loss, (tasks, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+            new_params = jax.tree.map(
+                lambda p, u: p + u, state.params, updates
+            )
+            new_state = TrainState(
+                params=new_params,
+                batch_stats=new_bs,
+                opt_state=new_opt,
+                step=state.step + 1,
+            )
+            return new_state, loss, jnp.stack(tasks)
+
+        @jax.jit
+        def _eval_step(state: TrainState, batch: GraphBatch):
+            out = self.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch,
+                train=False,
+            )
+            tot, tasks = self.model.loss(out, batch)
+            return tot, jnp.stack(tasks)
+
+        @jax.jit
+        def _predict_step(state: TrainState, batch: GraphBatch):
+            return self.model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch,
+                train=False,
+            )
+
+        self.train_step = _train_step
+        self.eval_step = _eval_step
+        self.predict_step = _predict_step
+
+    def init_state(self, example: GraphBatch) -> TrainState:
+        variables = self.model.init(
+            {"params": jax.random.PRNGKey(self.seed), "dropout": jax.random.PRNGKey(1)},
+            example,
+            train=False,
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+        return TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    # -------------------------------------------------------------- epochs
+    def run_epoch(self, state: TrainState, loader) -> Tuple[TrainState, float, np.ndarray]:
+        total = 0.0
+        tasks_total = None
+        n = 0
+        for batch in loader:
+            ng = int(batch.graph_mask.sum())
+            state, loss, tasks = self.train_step(state, batch)
+            total += float(loss) * ng
+            t = np.asarray(tasks)
+            tasks_total = t * ng if tasks_total is None else tasks_total + t * ng
+            n += ng
+        return state, total / max(n, 1), tasks_total / max(n, 1)
+
+    def evaluate(self, state: TrainState, loader) -> Tuple[float, np.ndarray]:
+        total = 0.0
+        tasks_total = None
+        n = 0
+        for batch in loader:
+            ng = int(batch.graph_mask.sum())
+            loss, tasks = self.eval_step(state, batch)
+            total += float(loss) * ng
+            t = np.asarray(tasks)
+            tasks_total = t * ng if tasks_total is None else tasks_total + t * ng
+            n += ng
+        if tasks_total is None:
+            return 0.0, np.zeros((1,))
+        return total / max(n, 1), tasks_total / max(n, 1)
+
+
+def train_validate_test(
+    trainer: Trainer,
+    state: TrainState,
+    train_loader,
+    val_loader,
+    test_loader,
+    config: Dict,
+    verbosity: int = 0,
+) -> Tuple[TrainState, Dict[str, Any]]:
+    training = config["NeuralNetwork"]["Training"]
+    num_epoch = int(training.get("num_epoch", 1))
+    patience = int(training.get("patience", 10))
+    use_early_stop = bool(training.get("EarlyStopping", False))
+    use_ckpt = bool(training.get("Checkpoint", False))
+    warmup = int(training.get("checkpoint_warmup", 10))
+
+    # ReduceLROnPlateau state (torch semantics, factor/patience/min_lr as in
+    # reference run_training.py:119-121)
+    sched_factor, sched_patience, min_lr = 0.5, 5, 1e-5
+    sched_best = float("inf")
+    sched_bad = 0
+
+    best_val = float("inf")
+    best_state = state
+    es_best = float("inf")
+    es_bad = 0
+
+    history: List[Dict[str, float]] = []
+    for epoch in range(num_epoch):
+        for loader in (train_loader, val_loader, test_loader):
+            if hasattr(loader, "set_epoch"):
+                loader.set_epoch(epoch)
+        state, train_loss, train_tasks = trainer.run_epoch(state, train_loader)
+        val_loss, val_tasks = trainer.evaluate(state, val_loader)
+        test_loss, test_tasks = trainer.evaluate(state, test_loader)
+        history.append(
+            {"train": train_loss, "val": val_loss, "test": test_loss, "epoch": epoch}
+        )
+        if verbosity > 0:
+            lr = get_learning_rate(state.opt_state)
+            print(
+                f"epoch {epoch}: train {train_loss:.6f} val {val_loss:.6f} "
+                f"test {test_loss:.6f} lr {lr:.2e}"
+            )
+
+        # scheduler
+        if val_loss < sched_best:
+            sched_best = val_loss
+            sched_bad = 0
+        else:
+            sched_bad += 1
+            if sched_bad > sched_patience:
+                lr = max(get_learning_rate(state.opt_state) * sched_factor, min_lr)
+                state = state.replace(
+                    opt_state=set_learning_rate(state.opt_state, lr)
+                )
+                sched_bad = 0
+
+        # best-val checkpoint with warmup (reference Checkpoint, model.py:531-571)
+        if use_ckpt and epoch >= warmup and val_loss < best_val:
+            best_val = val_loss
+            best_state = state
+
+        # early stopping
+        if use_early_stop:
+            if val_loss < es_best:
+                es_best = val_loss
+                es_bad = 0
+            else:
+                es_bad += 1
+                if es_bad >= patience:
+                    break
+
+    final_state = best_state if (use_ckpt and best_val < float("inf")) else state
+    return final_state, {"history": history, "best_val": best_val}
