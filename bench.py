@@ -1,0 +1,117 @@
+"""Benchmark: message-passing edge throughput per chip.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Metric (per BASELINE.md): edges/s/chip per conv layer -- the number of
+(real) edge messages processed per second per conv layer by a full
+train step (forward + backward + optimizer) on one chip.  The reference
+publishes no in-tree numbers (BASELINE.json "published": {}), so
+vs_baseline is reported against the framework's own first-recorded value
+of 1.0 (ratio placeholder).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def build_bench_batch(n_graphs=64, nodes_per_graph=256, avg_degree=16, seed=0):
+    """Large synthetic batch: random geometric-ish graphs with fixed degree."""
+    from hydragnn_tpu.data.batching import collate
+    from hydragnn_tpu.data.sample import GraphSample
+
+    rng = np.random.default_rng(seed)
+    samples = []
+    for _ in range(n_graphs):
+        n = nodes_per_graph
+        pos = rng.uniform(0, 10, (n, 3)).astype(np.float32)
+        # fixed-degree random neighbors (static, plausible locality not needed
+        # for throughput measurement)
+        senders = np.repeat(np.arange(n), avg_degree)
+        receivers = rng.integers(0, n, n * avg_degree)
+        x = rng.normal(size=(n, 1)).astype(np.float32)
+        y_graph = np.asarray([rng.normal()], np.float32)
+        y_node = rng.normal(size=(n, 3)).astype(np.float32)
+        samples.append(
+            GraphSample(
+                x=x,
+                pos=pos,
+                edge_index=np.stack([senders, receivers]).astype(np.int64),
+                y_graph=y_graph,
+                y_node=y_node,
+            )
+        )
+    n_node = n_graphs * nodes_per_graph + 8
+    n_edge = n_graphs * nodes_per_graph * avg_degree + 8
+    return collate(samples, n_node, n_edge, n_graphs + 1)
+
+
+def main():
+    import jax
+
+    from hydragnn_tpu.models.base import StackConfig, normalize_branches
+    from hydragnn_tpu.models.create import create_model
+    from hydragnn_tpu.train.loop import Trainer
+
+    num_conv_layers = 6
+    hidden = 256
+    batch = build_bench_batch()
+    heads = {
+        "graph": {
+            "num_sharedlayers": 2,
+            "dim_sharedlayers": hidden,
+            "num_headlayers": 2,
+            "dim_headlayers": [hidden, hidden],
+        },
+        "node": {
+            "num_headlayers": 2,
+            "dim_headlayers": [hidden, hidden],
+            "type": "mlp",
+        },
+    }
+    cfg = StackConfig(
+        input_dim=1,
+        hidden_dim=hidden,
+        output_dim=(1, 3),
+        output_type=("graph", "node"),
+        graph_branches=normalize_branches(heads["graph"]),
+        node_branches=normalize_branches(heads["node"]),
+        task_weights=(1.0, 1.0),
+        num_conv_layers=num_conv_layers,
+        pna_deg=tuple(np.bincount(np.full(16384, 16)).tolist()),
+    )
+    model = create_model("PNA", cfg)
+    trainer = Trainer(model, {"type": "AdamW", "learning_rate": 1e-3})
+    state = trainer.init_state(batch)
+
+    # warmup/compile
+    state, loss, _ = trainer.train_step(state, batch)
+    jax.block_until_ready(loss)
+
+    n_iter = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        state, loss, _ = trainer.train_step(state, batch)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    # edge messages through one conv layer per second: each step pushes every
+    # real edge through L layers; per-layer rate = edges * iters / time
+    real_edges = int(np.asarray(batch.edge_mask).sum())
+    value = real_edges * n_iter / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_edges_per_s_per_chip_per_conv_layer",
+                "value": round(value, 1),
+                "unit": "edges/s",
+                "vs_baseline": 1.0,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

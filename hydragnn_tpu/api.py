@@ -67,6 +67,12 @@ def _build_datasets(config: Dict):
     for s in samples:
         if s.edge_index is None:
             s.edge_index = radius_graph(s.pos, radius, max_nb)
+    if arch.get("mpnn_type") == "DimeNet":
+        from hydragnn_tpu.data.batching import build_triplets
+
+        for s in samples:
+            if s.trip_kj is None:
+                s.trip_kj, s.trip_ji = build_triplets(s.edge_index)
     if arch.get("edge_features"):
         assert list(arch["edge_features"]) == ["lengths"], "only lengths supported"
         if samples[0].edge_attr is None:
@@ -77,12 +83,18 @@ def _build_datasets(config: Dict):
 
 
 def _make_loaders(config: Dict, train, val, test):
+    from hydragnn_tpu.data.batching import compute_triplet_dim
+
     bs = int(config["NeuralNetwork"]["Training"]["batch_size"])
-    dims = compute_batch_dims(list(train) + list(val) + list(test), bs)
+    everything = list(train) + list(val) + list(test)
+    dims = compute_batch_dims(everything, bs)
+    n_trip = (
+        compute_triplet_dim(everything, bs) if train[0].trip_kj is not None else None
+    )
     return (
-        PaddedBatcher(train, bs, shuffle=True, seed=1, dims=dims),
-        PaddedBatcher(val, bs, dims=dims),
-        PaddedBatcher(test, bs, dims=dims),
+        PaddedBatcher(train, bs, shuffle=True, seed=1, dims=dims, n_triplet=n_trip),
+        PaddedBatcher(val, bs, dims=dims, n_triplet=n_trip),
+        PaddedBatcher(test, bs, dims=dims, n_triplet=n_trip),
     )
 
 

@@ -21,6 +21,29 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def build_triplets(edge_index: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Enumerate DimeNet triplets on the host: for every edge (j->i) pair it
+    with every edge (k->j), k != i (reference ``DIMEStack.py:233-279``
+    semantics, host numpy instead of sparse torch).  Returns local edge-id
+    arrays (idx_kj, idx_ji)."""
+    src, dst = edge_index
+    e = src.shape[0]
+    kj_list, ji_list = [], []
+    in_edges = {}  # node -> list of edge ids with dst == node
+    for eid in range(e):
+        in_edges.setdefault(int(dst[eid]), []).append(eid)
+    for ji in range(e):
+        j, i = int(src[ji]), int(dst[ji])
+        for kj in in_edges.get(j, ()):
+            if int(src[kj]) != i:
+                kj_list.append(kj)
+                ji_list.append(ji)
+    return (
+        np.asarray(kj_list, np.int64).reshape(-1),
+        np.asarray(ji_list, np.int64).reshape(-1),
+    )
+
+
 def compute_batch_dims(
     samples: Sequence[GraphSample],
     batch_size: int,
@@ -37,11 +60,19 @@ def compute_batch_dims(
     return n_node, n_edge, n_graph
 
 
+def compute_triplet_dim(
+    samples: Sequence[GraphSample], batch_size: int, multiple: int = 8
+) -> int:
+    max_t = max(max(s.num_triplets, 1) for s in samples)
+    return _round_up(batch_size * max_t + 1, multiple)
+
+
 def collate(
     samples: Sequence[GraphSample],
     n_node: int,
     n_edge: int,
     n_graph: int,
+    n_triplet: Optional[int] = None,
 ) -> GraphBatch:
     """Pack samples into one padded GraphBatch (host-side numpy)."""
     bs = len(samples)
@@ -96,6 +127,15 @@ def collate(
     energy = None if samples[0].energy is None else np.zeros((n_graph,), np.float32)
     forces = None if samples[0].forces is None else np.zeros((n_node, 3), np.float32)
 
+    with_trip = n_triplet is not None and samples[0].trip_kj is not None
+    if with_trip:
+        trip_kj = np.full((n_triplet,), n_edge - 1, np.int32)
+        trip_ji = np.full((n_triplet,), n_edge - 1, np.int32)
+        trip_mask = np.zeros((n_triplet,), bool)
+        trip_off = 0
+    else:
+        trip_kj = trip_ji = trip_mask = None
+
     node_off = 0
     edge_off = 0
     for g, s in enumerate(samples):
@@ -133,6 +173,12 @@ def collate(
             energy[g] = s.energy
         if forces is not None:
             forces[sl] = s.forces
+        if with_trip and s.num_triplets:
+            t = s.num_triplets
+            trip_kj[trip_off : trip_off + t] = s.trip_kj + edge_off
+            trip_ji[trip_off : trip_off + t] = s.trip_ji + edge_off
+            trip_mask[trip_off : trip_off + t] = True
+            trip_off += t
         node_off += n
         edge_off += e
 
@@ -157,6 +203,9 @@ def collate(
         rel_pe=rel_pe,
         energy=energy,
         forces=forces,
+        trip_kj=trip_kj,
+        trip_ji=trip_ji,
+        trip_mask=trip_mask,
     )
 
 
@@ -176,6 +225,7 @@ class PaddedBatcher:
         seed: int = 0,
         drop_last: bool = False,
         dims: Optional[Tuple[int, int, int]] = None,
+        n_triplet: Optional[int] = None,
     ):
         self.samples = list(samples)
         self.batch_size = batch_size
@@ -184,6 +234,12 @@ class PaddedBatcher:
         self.drop_last = drop_last
         self.epoch = 0
         self.dims = dims or compute_batch_dims(self.samples, batch_size)
+        if n_triplet is not None:
+            self.n_triplet = n_triplet
+        elif self.samples[0].trip_kj is not None:
+            self.n_triplet = compute_triplet_dim(self.samples, batch_size)
+        else:
+            self.n_triplet = None
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -205,5 +261,9 @@ class PaddedBatcher:
             if len(chunk) < self.batch_size and self.drop_last:
                 break
             yield collate(
-                [self.samples[i] for i in chunk], n_node, n_edge, n_graph
+                [self.samples[i] for i in chunk],
+                n_node,
+                n_edge,
+                n_graph,
+                n_triplet=self.n_triplet,
             )

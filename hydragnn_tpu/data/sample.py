@@ -29,6 +29,13 @@ class GraphSample:
     # (mirrors reference data.x columns / data.y before update_predicted_values)
     x_raw: Optional[np.ndarray] = None
     y_raw: Optional[np.ndarray] = None
+    # DimeNet triplets: local edge indices of (k->j, j->i) pairs
+    trip_kj: Optional[np.ndarray] = None  # [T]
+    trip_ji: Optional[np.ndarray] = None  # [T]
+
+    @property
+    def num_triplets(self) -> int:
+        return 0 if self.trip_kj is None else int(self.trip_kj.shape[0])
 
     @property
     def num_nodes(self) -> int:

@@ -69,6 +69,12 @@ class GraphBatch:
     rel_pe: Optional[jnp.ndarray] = None  # [E, pe_dim] relative PE (for GPS)
     energy: Optional[jnp.ndarray] = None  # [G] reference total energy (MLIP)
     forces: Optional[jnp.ndarray] = None  # [N, 3] reference forces (MLIP)
+    # DimeNet triplets (padded): edge ids of (k->j) and (j->i); padding points
+    # at the padding edge E-1 (reference computes these dynamically,
+    # DIMEStack.py:233-279 -- here they are static per batch)
+    trip_kj: Optional[jnp.ndarray] = None  # [T] int32
+    trip_ji: Optional[jnp.ndarray] = None  # [T] int32
+    trip_mask: Optional[jnp.ndarray] = None  # [T] bool
 
     # ------------------------------------------------------------------
     @property
@@ -135,8 +141,8 @@ def graph_segment_mean(
     Equivalent of reference ``global_mean_pool`` (``Base.py:733-738``) but
     mask-aware: divides by the true per-graph node count.
     """
-    mask = graph.node_mask.astype(values.dtype)[:, None]
+    vals = jnp.where(graph.node_mask[:, None], values, 0.0)
     summed = jnp.zeros((graph.n_graph, values.shape[-1]), values.dtype)
-    summed = summed.at[graph.node_graph].add(values * mask)
+    summed = summed.at[graph.node_graph].add(vals)
     counts = jnp.maximum(graph.n_per_graph.astype(values.dtype), 1.0)[:, None]
     return summed / counts

@@ -68,7 +68,9 @@ def masked_error_loss(
     Averages over real (mask=True) rows x all feature columns, exactly like
     an unmasked torch ``F.mse_loss`` over the unpadded tensors.
     """
-    diff = (pred - target) * mask[:, None].astype(pred.dtype)
+    # jnp.where (not multiply-by-mask) so NaNs in padding rows cannot
+    # poison the sum via 0 * NaN
+    diff = jnp.where(mask[:, None], pred - target, 0.0)
     count = jnp.maximum(jnp.sum(mask.astype(pred.dtype)) * pred.shape[-1], 1.0)
     lt = loss_type.lower()
     if lt == "mse":
@@ -91,7 +93,7 @@ def masked_gaussian_nll(
     var = jnp.maximum(var, eps)
     err2 = (pred - target) ** 2
     nll = 0.5 * (jnp.log(var) + err2 / var)
-    nll = nll * mask[:, None].astype(pred.dtype)
+    nll = jnp.where(mask[:, None], nll, 0.0)
     count = jnp.maximum(jnp.sum(mask.astype(pred.dtype)) * pred.shape[-1], 1.0)
     return jnp.sum(nll) / count
 
@@ -264,10 +266,10 @@ class MaskedBatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
 
         if train:
-            m = mask.astype(x.dtype)[:, None]
-            cnt = jnp.maximum(jnp.sum(m), 1.0)
-            mean = jnp.sum(x * m, axis=0) / cnt
-            var = jnp.sum(((x - mean) ** 2) * m, axis=0) / cnt
+            m = mask[:, None]
+            cnt = jnp.maximum(jnp.sum(mask.astype(x.dtype)), 1.0)
+            mean = jnp.sum(jnp.where(m, x, 0.0), axis=0) / cnt
+            var = jnp.sum(jnp.where(m, (x - mean) ** 2, 0.0), axis=0) / cnt
             if not self.is_initializing():
                 unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
                 ra_mean.value = (
@@ -520,7 +522,10 @@ class ConvStack(nn.Module):
                     activation=cfg.activation,
                     name=f"cond_{i}",
                 )(inv, graph)
-            inv = MaskedBatchNorm(width, name=f"norm_{i}")(inv, graph.node_mask, train)
+            if spec.get("norm", True):
+                inv = MaskedBatchNorm(width, name=f"norm_{i}")(
+                    inv, graph.node_mask, train
+                )
             inv = act(inv)
 
         x = inv
@@ -609,13 +614,12 @@ class ConvStack(nn.Module):
         mode = cfg.graph_pooling.lower()
         if mode == "sum":
             mode = "add"
-        m = graph.node_mask.astype(x.dtype)[:, None]
         if mode == "mean":
-            s = segment_sum(x * m, graph.node_graph, graph.n_graph)
+            s = segment_sum(x, graph.node_graph, graph.n_graph, mask=graph.node_mask)
             cnt = jnp.maximum(graph.n_per_graph.astype(x.dtype), 1.0)[:, None]
             return s / cnt
         if mode == "add":
-            return segment_sum(x * m, graph.node_graph, graph.n_graph)
+            return segment_sum(x, graph.node_graph, graph.n_graph, mask=graph.node_mask)
         if mode == "max":
             from hydragnn_tpu.ops import segment_max
 

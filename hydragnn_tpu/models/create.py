@@ -19,21 +19,18 @@ def _stack_registry() -> Dict[str, Any]:
         "PNA": invariant.PNAStack,
         "GAT": invariant.GATStack,
     }
-    try:
-        from hydragnn_tpu.models import geometric
+    from hydragnn_tpu.models import geometric
 
-        registry.update(
-            {
-                "SchNet": geometric.SCFStack,
-                "PNAPlus": geometric.PNAPlusStack,
-                "EGNN": geometric.EGCLStack,
-                "PAINN": geometric.PAINNStack,
-                "PNAEq": geometric.PNAEqStack,
-                "DimeNet": geometric.DIMEStack,
-            }
-        )
-    except ImportError:
-        pass
+    for name, attr in (
+        ("SchNet", "SCFStack"),
+        ("PNAPlus", "PNAPlusStack"),
+        ("EGNN", "EGCLStack"),
+        ("PAINN", "PAINNStack"),
+        ("PNAEq", "PNAEqStack"),
+        ("DimeNet", "DIMEStack"),
+    ):
+        if hasattr(geometric, attr):
+            registry[name] = getattr(geometric, attr)
     try:
         from hydragnn_tpu.models import mace
 

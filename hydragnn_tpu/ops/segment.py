@@ -44,7 +44,7 @@ def segment_count(
 ) -> jnp.ndarray:
     ones = jnp.ones(segment_ids.shape, dtype)
     if mask is not None:
-        ones = jnp.where(mask, ones, 0.0)
+        ones = jnp.where(mask, ones, jnp.zeros((), dtype))
     return jnp.zeros((num_segments,), dtype).at[segment_ids].add(ones)
 
 

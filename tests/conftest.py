@@ -1,0 +1,12 @@
+"""Test env: force CPU backend with 8 virtual devices so multi-chip sharding
+paths run on one host (the analogue of the reference CI's
+``mpirun -n 2 pytest --with-mpi``, CI.yml:60-69)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
