@@ -73,6 +73,10 @@ def _build_datasets(config: Dict):
         for s in samples:
             if s.trip_kj is None:
                 s.trip_kj, s.trip_ji = build_triplets(s.edge_index)
+    if arch.get("global_attn_engine"):
+        from hydragnn_tpu.data.pipeline import compute_lap_pe
+
+        compute_lap_pe(samples, int(arch.get("pe_dim", 1) or 1))
     if arch.get("edge_features"):
         assert list(arch["edge_features"]) == ["lengths"], "only lengths supported"
         if samples[0].edge_attr is None:

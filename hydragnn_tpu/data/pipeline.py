@@ -122,6 +122,29 @@ def split_dataset(
     return train, val, test
 
 
+def compute_lap_pe(samples: Sequence[GraphSample], k: int) -> None:
+    """Laplacian-eigenvector positional encodings + relative PE for GPS
+    (reference ``serialized_dataset_loader.py:88-94,183-189``):
+    pe = eigenvectors 1..k of the symmetric normalized Laplacian,
+    rel_pe = |pe[src] - pe[dst]| per edge."""
+    for s in samples:
+        n = s.num_nodes
+        A = np.zeros((n, n))
+        src, dst = s.edge_index
+        A[src, dst] = 1.0
+        A[dst, src] = 1.0
+        deg = A.sum(1)
+        dinv = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1e-12)), 0.0)
+        L = np.eye(n) - dinv[:, None] * A * dinv[None, :]
+        _, vecs = np.linalg.eigh(L)
+        pe = np.zeros((n, k), np.float32)
+        avail = min(k, max(n - 1, 0))
+        if avail > 0:
+            pe[:, :avail] = vecs[:, 1 : 1 + avail]
+        s.pe = pe
+        s.rel_pe = np.abs(pe[src] - pe[dst]).astype(np.float32)
+
+
 def gather_degree_histogram(samples: Sequence[GraphSample]) -> List[int]:
     """In-degree histogram over the dataset for PNA
     (reference ``gather_deg``, ``graph_samples_checks_and_updates.py:526-565``)."""

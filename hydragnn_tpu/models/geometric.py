@@ -40,14 +40,22 @@ def edge_vectors_lengths(
     pos, graph: GraphBatch, normalize=False, eps: float = 1e-9
 ):
     """Reference ``get_edge_vectors_and_lengths`` (operations.py:21-36):
-    vec = pos[receiver] - pos[sender] + shift."""
+    vec = pos[receiver] - pos[sender] + shift.
+
+    Padding edges (sender == receiver == padding node) get a unit vector
+    substituted via jnp.where so that the norm's gradient w.r.t. positions
+    (force training differentiates through here) never hits the NaN at
+    ||v|| = 0; their contributions are masked out downstream anyway.
+    """
     vec = pos[graph.receivers] - pos[graph.senders]
     if graph.edge_shifts is not None:
         vec = vec + graph.edge_shifts.astype(vec.dtype)
-    length = jnp.linalg.norm(vec, axis=-1, keepdims=True)
+    unit = jnp.zeros_like(vec).at[:, 0].set(1.0)
+    vec_safe = jnp.where(graph.edge_mask[:, None], vec, unit)
+    length = jnp.sqrt(jnp.sum(vec_safe * vec_safe, axis=-1, keepdims=True))
     if normalize:
-        return vec / (length + eps), length
-    return vec, length
+        return vec_safe / (length + eps), length
+    return vec_safe, length
 
 
 # ---------------------------------------------------------------------------

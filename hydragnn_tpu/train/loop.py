@@ -41,16 +41,36 @@ class TrainState:
 class Trainer:
     """Owns the jitted steps for one model + optimizer."""
 
-    def __init__(self, model: ConvStack, opt_config: Dict, seed: int = 0):
+    def __init__(
+        self,
+        model: ConvStack,
+        opt_config: Dict,
+        seed: int = 0,
+        mlip: Optional[Dict] = None,
+    ):
         self.model = model
         self.tx = make_optimizer(opt_config)
         self.seed = seed
+        self.mlip = mlip
 
         @jax.jit
         def _train_step(state: TrainState, batch: GraphBatch):
             rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), state.step)
 
             def loss_fn(params):
+                if self.mlip is not None:
+                    from hydragnn_tpu.models.mlip import energy_force_loss
+
+                    tot, tasks, new_bs, _, _ = energy_force_loss(
+                        self.model,
+                        params,
+                        state.batch_stats,
+                        batch,
+                        self.mlip,
+                        train=True,
+                        rng=rng,
+                    )
+                    return tot, (tasks, new_bs)
                 out, mutated = self.model.apply(
                     {"params": params, "batch_stats": state.batch_stats},
                     batch,
@@ -78,6 +98,18 @@ class Trainer:
 
         @jax.jit
         def _eval_step(state: TrainState, batch: GraphBatch):
+            if self.mlip is not None:
+                from hydragnn_tpu.models.mlip import energy_force_loss
+
+                tot, tasks, _, _, _ = energy_force_loss(
+                    self.model,
+                    state.params,
+                    state.batch_stats,
+                    batch,
+                    self.mlip,
+                    train=False,
+                )
+                return tot, jnp.stack(tasks)
             out = self.model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 batch,
