@@ -83,6 +83,10 @@ def _build_datasets(config: Dict):
             add_edge_lengths(samples)
 
     perc_train = float(config["NeuralNetwork"]["Training"].get("perc_train", 0.7))
+    if ds_cfg.get("compositional_stratified_splitting", False):
+        from hydragnn_tpu.data.pipeline import compositional_stratified_split
+
+        return compositional_stratified_split(samples, perc_train, seed=0)
     return split_dataset(samples, perc_train, seed=0)
 
 

@@ -145,6 +145,34 @@ def compute_lap_pe(samples: Sequence[GraphSample], k: int) -> None:
         s.rel_pe = np.abs(pe[src] - pe[dst]).astype(np.float32)
 
 
+def compositional_stratified_split(
+    samples: Sequence[GraphSample], perc_train: float, seed: int = 0
+) -> Tuple[List[GraphSample], List[GraphSample], List[GraphSample]]:
+    """Stratified train/val/test split by element-composition category
+    (reference ``utils/datasets/compositional_data_splitting.py:19-160``):
+    samples are grouped by the set of node types present and each group is
+    split proportionally so every composition appears in every split."""
+    groups: Dict = {}
+    for i, s in enumerate(samples):
+        key = tuple(sorted(set(np.asarray(s.x[:, 0]).astype(int).tolist())))
+        groups.setdefault(key, []).append(i)
+    rng = np.random.default_rng(seed)
+    tr, va, te = [], [], []
+    for key in sorted(groups):
+        idx = np.asarray(groups[key])
+        rng.shuffle(idx)
+        n_tr = int(round(len(idx) * perc_train))
+        n_va = int(round(len(idx) * (1 - perc_train) * 0.5))
+        tr.extend(idx[:n_tr])
+        va.extend(idx[n_tr : n_tr + n_va])
+        te.extend(idx[n_tr + n_va :])
+    return (
+        [samples[i] for i in tr],
+        [samples[i] for i in va],
+        [samples[i] for i in te],
+    )
+
+
 def gather_degree_histogram(samples: Sequence[GraphSample]) -> List[int]:
     """In-degree histogram over the dataset for PNA
     (reference ``gather_deg``, ``graph_samples_checks_and_updates.py:526-565``)."""

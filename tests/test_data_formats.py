@@ -1,0 +1,128 @@
+"""Container round-trip, LSMS text parsing, splitting, checkpoint/resume."""
+
+import os
+
+import numpy as np
+
+from hydragnn_tpu.data.container import GraphContainerDataset, GraphContainerWriter
+from hydragnn_tpu.data.lennard_jones import lennard_jones_data
+from hydragnn_tpu.data.lsms import load_lsms_directory, parse_lsms_file
+from hydragnn_tpu.data.pipeline import compositional_stratified_split, split_dataset
+from hydragnn_tpu.data.radius_graph import radius_graph
+from hydragnn_tpu.data.synthetic import deterministic_graph_data
+
+
+def test_container_roundtrip(tmp_path):
+    samples = lennard_jones_data(6)
+    for s in samples:
+        s.edge_index = radius_graph(s.pos, 3.0, 16)
+        s.y_graph = np.asarray([s.energy], np.float32)
+    w = GraphContainerWriter(str(tmp_path / "shard0"), attrs={"pna_deg": [0, 1, 2]})
+    w.write(samples)
+    ds = GraphContainerDataset(str(tmp_path / "shard0"))
+    assert len(ds) == 6
+    assert ds.attrs["pna_deg"] == [0, 1, 2]
+    for i in (0, 3, 5):
+        got = ds[i]
+        np.testing.assert_allclose(got.x, samples[i].x)
+        np.testing.assert_allclose(got.pos, samples[i].pos)
+        np.testing.assert_array_equal(got.edge_index, samples[i].edge_index)
+        assert got.energy == float(samples[i].energy)
+        np.testing.assert_allclose(got.forces, samples[i].forces)
+
+
+def test_container_multi_shard(tmp_path):
+    s1 = lennard_jones_data(3, seed=1)
+    s2 = lennard_jones_data(4, seed=2)
+    GraphContainerWriter(str(tmp_path / "a")).write(s1)
+    GraphContainerWriter(str(tmp_path / "b")).write(s2)
+    ds = GraphContainerDataset([str(tmp_path / "a"), str(tmp_path / "b")])
+    assert len(ds) == 7
+    np.testing.assert_allclose(ds[5].pos, s2[2].pos)
+
+
+def test_lsms_parse(tmp_path):
+    # write an LSMS-format file (reference deterministic_graph_data layout)
+    txt = "42.5\t10.1\n"
+    txt += "1\t0\t0.0\t0.0\t0.0\t1.0\t2.0\t1.0\n"
+    txt += "2\t1\t0.5\t0.5\t0.5\t1.5\t4.25\t3.375\n"
+    p = tmp_path / "output0.txt"
+    p.write_text(txt)
+    s = parse_lsms_file(
+        str(p),
+        node_feature_dims=[1, 1, 1],
+        node_feature_cols=[0, 6, 7],
+        graph_feature_dims=[1],
+        graph_feature_cols=[0],
+    )
+    assert s.num_nodes == 2
+    np.testing.assert_allclose(s.y_raw, [42.5])
+    # charge-density update: col1 -= col0
+    np.testing.assert_allclose(s.x_raw[0], [1.0, 2.0 - 1.0, 1.0])
+    np.testing.assert_allclose(s.pos[1], [0.5, 0.5, 0.5])
+    samples = load_lsms_directory(str(tmp_path), {
+        "node_features": {"dim": [1, 1, 1], "column_index": [0, 6, 7]},
+        "graph_features": {"dim": [1], "column_index": [0]},
+    })
+    assert len(samples) == 1
+
+
+def test_compositional_split_covers_categories():
+    samples = deterministic_graph_data(60, seed=5)
+    tr, va, te = compositional_stratified_split(samples, 0.7)
+    assert len(tr) + len(va) + len(te) == 60
+    assert len(tr) > len(va) and len(tr) > len(te)
+
+    def cats(ss):
+        return set(
+            tuple(sorted(set(np.asarray(s.x[:, 0]).astype(int).tolist())))
+            for s in ss
+        )
+
+    # big categories present in all splits
+    common = cats(tr) & cats(va) & cats(te)
+    assert len(common) >= 1
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from hydragnn_tpu.data.batching import PaddedBatcher, compute_batch_dims
+    from hydragnn_tpu.models.base import StackConfig, normalize_branches
+    from hydragnn_tpu.models.create import create_model
+    from hydragnn_tpu.train.checkpoint import CheckpointManager
+    from hydragnn_tpu.train.loop import Trainer
+
+    samples = deterministic_graph_data(8, seed=2)
+    for s in samples:
+        s.edge_index = radius_graph(s.pos, 2.0, 16)
+        s.y_graph = s.y_raw
+    cfg = StackConfig(
+        input_dim=3,
+        hidden_dim=8,
+        output_dim=(1,),
+        output_type=("graph",),
+        graph_branches=normalize_branches(
+            {"num_sharedlayers": 1, "dim_sharedlayers": 8,
+             "num_headlayers": 1, "dim_headlayers": [8]}
+        ),
+        task_weights=(1.0,),
+        num_conv_layers=2,
+    )
+    model = create_model("GIN", cfg)
+    tr = Trainer(model, {"type": "AdamW", "learning_rate": 1e-2})
+    b = next(iter(PaddedBatcher(samples, 4, dims=compute_batch_dims(samples, 4))))
+    state = tr.init_state(b)
+    state, loss, _ = tr.train_step(state, b)
+
+    mngr = CheckpointManager(str(tmp_path / "ckpt"))
+    mngr.save(1, state)
+    state2 = tr.init_state(b)
+    restored = mngr.restore(state2)
+    import jax
+
+    same = jax.tree.map(
+        lambda a, b: np.allclose(np.asarray(a), np.asarray(b)),
+        state.params,
+        restored.params,
+    )
+    assert all(jax.tree.leaves(same))
+    assert int(restored.step) == int(state.step)

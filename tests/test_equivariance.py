@@ -1,0 +1,194 @@
+"""Property tests: rotational invariance of predictions, force
+equivariance F(Rx) = R F(x), and PBC edge construction.
+
+The analogue of reference ``tests/test_rotational_invariance.py``,
+``test_forces_equivariant.py``, ``test_periodic_boundary_conditions.py``.
+"""
+
+import numpy as np
+import pytest
+
+from hydragnn_tpu.data.batching import PaddedBatcher, compute_batch_dims
+from hydragnn_tpu.data.lennard_jones import lennard_jones_data, lj_energy_forces
+from hydragnn_tpu.data.pbc import radius_graph_pbc
+from hydragnn_tpu.data.radius_graph import radius_graph
+from hydragnn_tpu.models.base import StackConfig, normalize_branches
+from hydragnn_tpu.models.create import create_model
+from hydragnn_tpu.train.loop import Trainer
+
+
+def _rot(seed=3):
+    rng = np.random.default_rng(seed)
+    q, r = np.linalg.qr(rng.normal(size=(3, 3)))
+    q = q * np.sign(np.diag(r))
+    if np.linalg.det(q) < 0:
+        q[:, 0] *= -1
+    return q.astype(np.float32)
+
+
+def _mlip_cfg(node_max_ell=1, hidden=16, layers=2):
+    return StackConfig(
+        input_dim=1,
+        hidden_dim=hidden,
+        output_dim=(1,),
+        output_type=("node",),
+        node_branches=normalize_branches(
+            {"num_headlayers": 2, "dim_headlayers": [16, 16], "type": "mlp"}
+        ),
+        task_weights=(1.0,),
+        num_conv_layers=layers,
+        radius=3.0,
+        num_radial=6,
+        equivariance=True,
+        max_ell=2,
+        node_max_ell=node_max_ell,
+        avg_num_neighbors=8.0,
+    )
+
+
+def _batch(samples, bs=4):
+    dims = compute_batch_dims(samples, bs)
+    return next(iter(PaddedBatcher(samples, bs, dims=dims)))
+
+
+@pytest.mark.parametrize("mpnn", ["SchNet", "PNAPlus", "EGNN", "PAINN", "PNAEq", "MACE"])
+def test_rotational_invariance_of_scalar_outputs(mpnn):
+    samples = lennard_jones_data(4, seed=11)
+    for s in samples:
+        s.edge_index = radius_graph(s.pos, 3.0, 32)
+    import dataclasses
+
+    cfg = _mlip_cfg()
+    if mpnn in ("PNAPlus", "PNAEq"):
+        cfg = dataclasses.replace(cfg, pna_deg=tuple([0] * 5 + [10] * 10))
+    model = create_model(mpnn, cfg)
+    tr = Trainer(model, {"type": "Adam", "learning_rate": 1e-3})
+    b = _batch(samples)
+    state = tr.init_state(b)
+    out = tr.predict_step(state, b)
+
+    R = _rot()
+    import copy
+
+    # keep the edge set fixed (rotation-invariant in exact arithmetic; fp32
+    # rotation can flip borderline edges, which is a graph-construction
+    # artifact, not a model-invariance failure)
+    rotated = copy.deepcopy(samples)
+    for s in rotated:
+        s.pos = s.pos @ R.T
+    b2 = _batch(rotated)
+    out2 = tr.predict_step(state, b2)
+    nm = np.asarray(b.node_mask)
+    np.testing.assert_allclose(
+        np.asarray(out[0])[nm], np.asarray(out2[0])[nm], rtol=2e-3, atol=2e-4
+    )
+
+
+def test_force_equivariance_egnn():
+    from hydragnn_tpu.models.mlip import energy_force_loss
+
+    samples = lennard_jones_data(4, seed=13)
+    for s in samples:
+        s.edge_index = radius_graph(s.pos, 3.0, 32)
+    cfg = _mlip_cfg()
+    model = create_model("EGNN", cfg)
+    weights = {"energy_weight": 1.0, "energy_peratom_weight": 1.0, "force_weight": 1.0}
+    tr = Trainer(model, {"type": "Adam", "learning_rate": 1e-3}, mlip=weights)
+    b = _batch(samples)
+    state = tr.init_state(b)
+    _, _, _, forces, energy = energy_force_loss(
+        model, state.params, state.batch_stats, b, weights
+    )
+
+    R = _rot(7)
+    import copy
+
+    rotated = copy.deepcopy(samples)
+    for s in rotated:
+        s.pos = s.pos @ R.T
+        s.forces = s.forces @ R.T
+    b2 = _batch(rotated)
+    _, _, _, forces2, energy2 = energy_force_loss(
+        model, state.params, state.batch_stats, b2, weights
+    )
+    gm = np.asarray(b.graph_mask)
+    nm = np.asarray(b.node_mask)
+    # E(Rx) = E(x)
+    np.testing.assert_allclose(
+        np.asarray(energy)[gm], np.asarray(energy2)[gm], rtol=2e-3, atol=2e-4
+    )
+    # F(Rx) = R F(x)
+    np.testing.assert_allclose(
+        np.asarray(forces)[nm] @ R.T,
+        np.asarray(forces2)[nm],
+        rtol=5e-3,
+        atol=5e-4,
+    )
+
+
+def test_forces_match_finite_difference_of_energy():
+    """Predicted forces are exactly -dE/dpos of the predicted energy."""
+    from hydragnn_tpu.models.mlip import energy_force_loss
+
+    samples = lennard_jones_data(2, seed=5)
+    for s in samples:
+        s.edge_index = radius_graph(s.pos, 3.0, 32)
+    cfg = _mlip_cfg(layers=1)
+    model = create_model("SchNet", cfg)
+    weights = {"energy_weight": 1.0, "force_weight": 1.0}
+    tr = Trainer(model, {"type": "Adam", "learning_rate": 1e-3}, mlip=weights)
+    b = _batch(samples, bs=2)
+    state = tr.init_state(b)
+    _, _, _, forces, energy = energy_force_loss(
+        model, state.params, state.batch_stats, b, weights
+    )
+    # central finite differences (h sized for fp32 cancellation noise)
+    h = 2e-2
+    pos_p = np.asarray(b.pos).copy()
+    pos_p[0, 0] += h
+    pos_m = np.asarray(b.pos).copy()
+    pos_m[0, 0] -= h
+    _, _, _, _, e_p = energy_force_loss(
+        model, state.params, state.batch_stats, b.replace(pos=pos_p), weights
+    )
+    _, _, _, _, e_m = energy_force_loss(
+        model, state.params, state.batch_stats, b.replace(pos=pos_m), weights
+    )
+    fd = -(float(e_p[0]) - float(e_m[0])) / (2 * h)
+    f = float(forces[0, 0])
+    assert abs(fd - f) < 0.2 * max(1.0, abs(f)), (fd, f)
+
+
+def test_pbc_edges_cross_boundary():
+    # 2 atoms in a unit cube near opposite faces: PBC distance 0.2
+    pos = np.array([[0.1, 0.5, 0.5], [0.9, 0.5, 0.5]], np.float32)
+    cell = np.eye(3, dtype=np.float32)
+    ei, shifts = radius_graph_pbc(pos, cell, radius=0.3)
+    assert ei.shape[1] >= 2
+    # verify vec convention: ||pos[r] - pos[s] + shift|| <= 0.3
+    vec = pos[ei[1]] - pos[ei[0]] + shifts
+    d = np.linalg.norm(vec, axis=1)
+    assert (d <= 0.3 + 1e-6).all()
+    assert np.isclose(d.min(), 0.2, atol=1e-5)
+
+
+def test_pbc_invariant_to_wrapping():
+    rng = np.random.default_rng(0)
+    pos = rng.uniform(0, 2.0, (6, 3)).astype(np.float32)
+    cell = (np.eye(3) * 2.0).astype(np.float32)
+    ei1, sh1 = radius_graph_pbc(pos, cell, radius=1.0)
+    # wrap one atom by a lattice vector
+    pos2 = pos.copy()
+    pos2[0] += cell[0]
+    ei2, sh2 = radius_graph_pbc(pos2, cell, radius=1.0)
+    # same multiset of distances
+    d1 = np.sort(np.linalg.norm(pos[ei1[1]] - pos[ei1[0]] + sh1, axis=1))
+    d2 = np.sort(np.linalg.norm(pos2[ei2[1]] - pos2[ei2[0]] + sh2, axis=1))
+    np.testing.assert_allclose(d1, d2, atol=1e-5)
+
+
+def test_pbc_isolated_node_gets_artificial_edge():
+    pos = np.array([[0.5, 0.5, 0.5]], np.float32)
+    cell = (np.eye(3) * 10.0).astype(np.float32)
+    ei, sh = radius_graph_pbc(pos, cell, radius=0.5)
+    assert ei.shape[1] >= 1  # artificial self edge
