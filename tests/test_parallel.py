@@ -1,0 +1,111 @@
+"""Multi-device tests on the 8-virtual-CPU mesh: data-parallel shard_map
+step, graph(edge)-partitioned training, and the driver dryrun."""
+
+import numpy as np
+import pytest
+
+import jax
+
+
+def _setup(n=16, hidden=16):
+    from hydragnn_tpu.data.batching import PaddedBatcher, compute_batch_dims
+    from hydragnn_tpu.data.pipeline import normalize_minmax, select_variables
+    from hydragnn_tpu.data.radius_graph import radius_graph
+    from hydragnn_tpu.data.synthetic import deterministic_graph_data
+    from hydragnn_tpu.models.base import StackConfig, normalize_branches
+    from hydragnn_tpu.models.create import create_model
+    from hydragnn_tpu.train.loop import Trainer
+
+    samples = deterministic_graph_data(n, seed=1)
+    var = {"input_node_features": [0], "output_index": [0], "type": ["graph"]}
+    normalize_minmax(samples, [1, 1, 1], [1])
+    select_variables(samples, var, [1, 1, 1], [1])
+    for s in samples:
+        s.edge_index = radius_graph(s.pos, 2.0, 100)
+    cfg = StackConfig(
+        input_dim=1,
+        hidden_dim=hidden,
+        output_dim=(1,),
+        output_type=("graph",),
+        graph_branches=normalize_branches(
+            {"num_sharedlayers": 1, "dim_sharedlayers": 8,
+             "num_headlayers": 1, "dim_headlayers": [8]}
+        ),
+        task_weights=(1.0,),
+        num_conv_layers=2,
+    )
+    model = create_model("GIN", cfg)
+    trainer = Trainer(model, {"type": "AdamW", "learning_rate": 1e-2})
+    return samples, model, trainer
+
+
+def test_graph_parallel_matches_single_device():
+    from hydragnn_tpu.data.batching import PaddedBatcher, compute_batch_dims
+    from hydragnn_tpu.parallel.graph_shard import (
+        make_graph_mesh,
+        pad_to_multiple,
+        reorder_for_locality,
+        shard_batch,
+    )
+
+    assert len(jax.devices()) >= 8
+    samples, model, trainer = _setup()
+    b = next(
+        iter(PaddedBatcher(samples, 16, dims=compute_batch_dims(samples, 16)))
+    )
+    state = trainer.init_state(b)
+
+    def grads_of(batch):
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch,
+                train=False,
+            )
+            tot, _ = model.loss(out, batch)
+            return tot
+
+        return jax.grad(loss_fn)(state.params)
+
+    g1 = grads_of(b)
+    mesh = make_graph_mesh(8)
+    b8 = shard_batch(reorder_for_locality(pad_to_multiple(b, 8), 8), mesh)
+    g8 = grads_of(b8)
+    rel = jax.tree.map(
+        lambda a, c: np.max(np.abs(np.asarray(a) - np.asarray(c)))
+        / max(np.max(np.abs(np.asarray(a))), 1e-6),
+        g1,
+        g8,
+    )
+    assert max(jax.tree.leaves(rel)) < 1e-4
+
+
+def test_data_parallel_step_runs_and_reduces():
+    from hydragnn_tpu.data.batching import PaddedBatcher, compute_batch_dims
+    from hydragnn_tpu.parallel import (
+        make_dp_train_step,
+        make_mesh,
+        shard_stacked_batch,
+        stack_batches,
+    )
+
+    samples, model, trainer = _setup(n=32)
+    dims = compute_batch_dims(samples, 4)
+    loader = PaddedBatcher(samples, 4, dims=dims)
+    batches = list(loader)[:8]
+    stacked = stack_batches(batches)
+    mesh = make_mesh(8)
+    state = trainer.init_state(batches[0])
+    step = make_dp_train_step(model, trainer.tx, mesh)
+    stacked = shard_stacked_batch(stacked, mesh)
+    state, loss, tasks = step(state, stacked)
+    assert np.isfinite(float(loss))
+    # replicated params stay identical across devices by construction
+    state, loss2, _ = step(state, stacked)
+    assert float(loss2) < float(loss) * 1.5  # it trains (loosely)
+
+
+def test_driver_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(min(8, len(jax.devices())))
