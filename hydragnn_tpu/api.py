@@ -1,7 +1,12 @@
 """Top-level API: ``run_training`` / ``run_prediction``.
 
 Mirrors the reference entry points (``hydragnn/run_training.py:59-211``,
-``hydragnn/run_prediction.py:34-114``) on the same JSON config schema.
+``hydragnn/run_prediction.py:34-114``) on the same JSON config schema:
+dataset build/split -> update_config -> model -> optimizer/scheduler ->
+train_validate_test (checkpointing, early stopping, TensorBoard) ->
+save; prediction loads the latest checkpoint, evaluates the test split and
+returns (error, tasks_error, true_values, predicted_values), optionally
+denormalized (``postprocess.py:13-26``).
 """
 
 from __future__ import annotations
@@ -15,6 +20,7 @@ import numpy as np
 from hydragnn_tpu.configuration import load_config, update_config
 from hydragnn_tpu.data.batching import PaddedBatcher, compute_batch_dims
 from hydragnn_tpu.data.pipeline import (
+    compute_lap_pe,
     normalize_minmax,
     select_variables,
     split_dataset,
@@ -23,50 +29,85 @@ from hydragnn_tpu.data.radius_graph import add_edge_lengths, radius_graph
 from hydragnn_tpu.data.synthetic import deterministic_graph_data
 from hydragnn_tpu.models.create import create_model_config
 from hydragnn_tpu.train.loop import Trainer, train_validate_test
+from hydragnn_tpu.utils.print_utils import setup_log
+from hydragnn_tpu.utils.tracer import tracer
 
 
 def _log_dir(config: Dict) -> str:
     name = config.get("Dataset", {}).get("name", "run")
-    d = os.path.join("logs", name)
-    os.makedirs(d, exist_ok=True)
-    return d
+    return setup_log(name)
 
 
 def _build_datasets(config: Dict):
     """Dataset orchestration (reference ``dataset_loading_and_splitting``,
-    ``preprocess/load_data.py:207-224``). Currently supported formats:
-    'unit_test' (synthetic deterministic BCC, generated in-memory) and
-    'pickle' (a pickled list of GraphSample)."""
+    ``preprocess/load_data.py:207-224``). Formats: 'unit_test' (synthetic
+    deterministic BCC), 'LSMS' (text dirs), 'pickle' (pickled GraphSample
+    list), 'container' (sharded graph container dirs), 'LJ' (synthetic
+    Lennard-Jones MLIP data)."""
     ds_cfg = config["Dataset"]
     fmt = ds_cfg.get("format", "unit_test")
     arch = config["NeuralNetwork"]["Architecture"]
     var_cfg = config["NeuralNetwork"]["Variables_of_interest"]
 
+    normalize = False
     if fmt == "unit_test":
         samples = deterministic_graph_data(
             number_configurations=int(ds_cfg.get("num_samples", 500))
         )
+        normalize = True  # legacy raw-loader path normalizes unconditionally
+    elif fmt == "LSMS":
+        from hydragnn_tpu.data.lsms import load_lsms_directory
+
+        samples = []
+        for _, path in ds_cfg["path"].items():
+            samples.extend(load_lsms_directory(path, ds_cfg))
+        normalize = True
     elif fmt == "pickle":
-        path = ds_cfg["path"]["total"]
-        with open(path, "rb") as f:
+        with open(ds_cfg["path"]["total"], "rb") as f:
             samples = pickle.load(f)
+        normalize = bool(ds_cfg.get("normalize_features", False))
+    elif fmt == "container":
+        from hydragnn_tpu.data.container import GraphContainerDataset
+
+        paths = ds_cfg["path"]["total"]
+        samples = GraphContainerDataset(paths).samples()
+        normalize = bool(ds_cfg.get("normalize_features", False))
+    elif fmt == "LJ":
+        from hydragnn_tpu.data.lennard_jones import lennard_jones_data
+
+        samples = lennard_jones_data(
+            number_configurations=int(ds_cfg.get("num_samples", 200)),
+            periodic=bool(arch.get("periodic_boundary_conditions", False)),
+        )
     else:
         raise ValueError(f"Unsupported dataset format: {fmt}")
 
-    node_dims = ds_cfg["node_features"]["dim"]
-    graph_dims = ds_cfg["graph_features"]["dim"]
-    if fmt == "unit_test":
-        # the reference LSMS/unit_test raw-loader path min/max-normalizes
-        # unconditionally (raw_dataset_loader.py:155)
-        normalize_minmax(samples, node_dims, graph_dims)
-    select_variables(samples, var_cfg, node_dims, graph_dims)
+    mlip = bool(arch.get("enable_interatomic_potential", False))
+    if not mlip:
+        node_dims = ds_cfg["node_features"]["dim"]
+        graph_dims = ds_cfg["graph_features"]["dim"]
+        if normalize:
+            minmax = normalize_minmax(samples, node_dims, graph_dims)
+            config.setdefault("_derived", {})["minmax"] = minmax
+        select_variables(samples, var_cfg, node_dims, graph_dims)
 
-    # radius graph + optional edge lengths
     radius = float(arch.get("radius", 5.0))
     max_nb = arch.get("max_neighbours", 100)
+    pbc = bool(arch.get("periodic_boundary_conditions", False))
     for s in samples:
         if s.edge_index is None:
-            s.edge_index = radius_graph(s.pos, radius, max_nb)
+            if pbc and s.cell is not None:
+                from hydragnn_tpu.data.pbc import radius_graph_pbc
+
+                s.edge_index, s.edge_shifts = radius_graph_pbc(
+                    s.pos, s.cell, radius, max_nb
+                )
+            else:
+                s.edge_index = radius_graph(s.pos, radius, max_nb)
+    if arch.get("edge_features"):
+        assert list(arch["edge_features"]) == ["lengths"], "only lengths supported"
+        if samples[0].edge_attr is None:
+            add_edge_lengths(samples)
     if arch.get("mpnn_type") == "DimeNet":
         from hydragnn_tpu.data.batching import build_triplets
 
@@ -74,16 +115,10 @@ def _build_datasets(config: Dict):
             if s.trip_kj is None:
                 s.trip_kj, s.trip_ji = build_triplets(s.edge_index)
     if arch.get("global_attn_engine"):
-        from hydragnn_tpu.data.pipeline import compute_lap_pe
-
         compute_lap_pe(samples, int(arch.get("pe_dim", 1) or 1))
-    if arch.get("edge_features"):
-        assert list(arch["edge_features"]) == ["lengths"], "only lengths supported"
-        if samples[0].edge_attr is None:
-            add_edge_lengths(samples)
 
     perc_train = float(config["NeuralNetwork"]["Training"].get("perc_train", 0.7))
-    if ds_cfg.get("compositional_stratified_splitting", False):
+    if ds_cfg.get("compositional_stratified_splitting", False) and not mlip:
         from hydragnn_tpu.data.pipeline import compositional_stratified_split
 
         return compositional_stratified_split(samples, perc_train, seed=0)
@@ -106,53 +141,105 @@ def _make_loaders(config: Dict, train, val, test):
     )
 
 
+def _mlip_weights(arch: Dict) -> Optional[Dict]:
+    if not arch.get("enable_interatomic_potential", False):
+        return None
+    return {
+        "energy_weight": float(arch.get("energy_weight", 0.0)),
+        "energy_peratom_weight": float(arch.get("energy_peratom_weight", 0.0)),
+        "force_weight": float(arch.get("force_weight", 0.0)),
+    }
+
+
 def run_training(config_or_path, use_deepspeed: bool = False):
-    """Train a model from a JSON config (path or dict)."""
+    """Train a model from a JSON config (path or dict).  ``use_deepspeed``
+    accepted for reference signature compatibility (no-op: sharding is
+    handled by jax.sharding)."""
     config = load_config(config_or_path)
+    log_dir = _log_dir(config)
+
+    from hydragnn_tpu.train.precision import resolve_precision
+
+    precision, _, _ = resolve_precision(
+        config["NeuralNetwork"]["Training"].get("precision", "fp32")
+    )
+
+    tracer.start("dataload")
     train, val, test = _build_datasets(config)
     config = update_config(config, train, val, test)
     train_loader, val_loader, test_loader = _make_loaders(config, train, val, test)
+    tracer.stop("dataload")
 
     model = create_model_config(config["NeuralNetwork"])
     trainer = Trainer(
-        model, config["NeuralNetwork"]["Training"]["Optimizer"], seed=0
+        model,
+        config["NeuralNetwork"]["Training"]["Optimizer"],
+        seed=0,
+        mlip=_mlip_weights(config["NeuralNetwork"]["Architecture"]),
     )
     state = trainer.init_state(next(iter(train_loader)))
+
+    # resume (reference Training.continue/startfrom, model/model.py:202-209)
+    ckpt_dir = os.path.join(os.path.abspath(log_dir), "ckpt")
+    if config["NeuralNetwork"]["Training"].get("continue", 0):
+        from hydragnn_tpu.train.checkpoint import CheckpointManager
+
+        mngr = CheckpointManager(ckpt_dir)
+        if mngr.latest_step() is not None:
+            state = mngr.restore(state)
+
     verbosity = config.get("Verbosity", {}).get("level", 0)
     state, info = train_validate_test(
-        trainer, state, train_loader, val_loader, test_loader, config, verbosity
+        trainer,
+        state,
+        train_loader,
+        val_loader,
+        test_loader,
+        config,
+        verbosity,
+        log_dir=log_dir,
     )
 
-    log_dir = _log_dir(config)
-    with open(os.path.join(log_dir, "model.pkl"), "wb") as f:
-        import jax
+    # save final model (reference save_model, model/model.py:104)
+    import jax
 
+    with open(os.path.join(log_dir, "model.pkl"), "wb") as f:
         pickle.dump(
-            jax.tree.map(lambda a: np.asarray(a), {
-                "params": state.params,
-                "batch_stats": state.batch_stats,
-            }),
+            jax.tree.map(
+                np.asarray,
+                {"params": state.params, "batch_stats": state.batch_stats},
+            ),
             f,
         )
+    # config snapshot (reference save_config, config_utils.py:360)
+    import json
+
+    with open(os.path.join(log_dir, "config.json"), "w") as f:
+        json.dump({k: v for k, v in config.items() if k != "_derived"}, f, default=str)
+
+    if config.get("Visualization", {}).get("create_plots", False):
+        from hydragnn_tpu.postprocess import Visualizer
+
+        Visualizer(log_dir).plot_history(info["history"])
+    tracer.save(log_dir)
     return info
 
 
 def run_prediction(config_or_path, use_deepspeed: bool = False):
-    """Evaluate the saved model on the test split.
-
-    Returns (error, tasks_error, true_values, predicted_values) like the
-    reference (``run_prediction.py:96-114``): per-head lists of stacked
-    unpadded targets/predictions.
-    """
-    import jax.numpy as jnp
-
+    """Evaluate the saved model on the test split; returns
+    (error, tasks_error, true_values, predicted_values)."""
     config = load_config(config_or_path)
     train, val, test = _build_datasets(config)
     config = update_config(config, train, val, test)
     _, _, test_loader = _make_loaders(config, train, val, test)
 
     model = create_model_config(config["NeuralNetwork"])
-    trainer = Trainer(model, config["NeuralNetwork"]["Training"]["Optimizer"], seed=0)
+    trainer = Trainer(
+        model,
+        config["NeuralNetwork"]["Training"]["Optimizer"],
+        seed=0,
+        mlip=_mlip_weights(config["NeuralNetwork"]["Architecture"]),
+    )
     state = trainer.init_state(next(iter(test_loader)))
 
     log_dir = _log_dir(config)
@@ -188,4 +275,20 @@ def run_prediction(config_or_path, use_deepspeed: bool = False):
 
     true_cat = [np.concatenate(v) for v in true_values]
     pred_cat = [np.concatenate(v) for v in pred_values]
+
+    var_cfg = config["NeuralNetwork"]["Variables_of_interest"]
+    if var_cfg.get("denormalize_output") and "y_minmax" in var_cfg:
+        from hydragnn_tpu.postprocess import output_denormalize
+
+        true_cat, pred_cat = output_denormalize(
+            var_cfg["y_minmax"], true_cat, pred_cat
+        )
+
+    if config.get("Visualization", {}).get("create_plots", False):
+        from hydragnn_tpu.postprocess import Visualizer
+
+        viz = Visualizer(log_dir, output_names=var_cfg.get("output_names"))
+        viz.create_parity_plot(true_cat, pred_cat)
+        viz.create_error_histograms(true_cat, pred_cat)
+
     return error, list(np.asarray(tasks_error)), true_cat, pred_cat

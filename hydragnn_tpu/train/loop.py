@@ -14,6 +14,7 @@ executable is compiled once per (model, padding) pair.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -184,6 +185,7 @@ def train_validate_test(
     test_loader,
     config: Dict,
     verbosity: int = 0,
+    log_dir: Optional[str] = None,
 ) -> Tuple[TrainState, Dict[str, Any]]:
     training = config["NeuralNetwork"]["Training"]
     num_epoch = int(training.get("num_epoch", 1))
@@ -191,6 +193,27 @@ def train_validate_test(
     use_early_stop = bool(training.get("EarlyStopping", False))
     use_ckpt = bool(training.get("Checkpoint", False))
     warmup = int(training.get("checkpoint_warmup", 10))
+
+    # TensorBoard scalars (reference SummaryWriter, model/model.py:193-199);
+    # torch (cpu) provides the writer, guarded so it stays optional
+    writer = None
+    if log_dir is not None:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            writer = SummaryWriter(log_dir=log_dir)
+        except Exception:
+            writer = None
+    ckpt_mngr = None
+    if log_dir is not None and use_ckpt:
+        try:
+            from hydragnn_tpu.train.checkpoint import CheckpointManager
+
+            ckpt_mngr = CheckpointManager(
+                os.path.join(os.path.abspath(log_dir), "ckpt")
+            )
+        except Exception:
+            ckpt_mngr = None
 
     # ReduceLROnPlateau state (torch semantics, factor/patience/min_lr as in
     # reference run_training.py:119-121)
@@ -203,17 +226,29 @@ def train_validate_test(
     es_best = float("inf")
     es_bad = 0
 
+    from hydragnn_tpu.utils.tracer import tracer
+
     history: List[Dict[str, float]] = []
     for epoch in range(num_epoch):
         for loader in (train_loader, val_loader, test_loader):
             if hasattr(loader, "set_epoch"):
                 loader.set_epoch(epoch)
+        tracer.start("train")
         state, train_loss, train_tasks = trainer.run_epoch(state, train_loader)
+        tracer.stop("train")
+        tracer.start("validate")
         val_loss, val_tasks = trainer.evaluate(state, val_loader)
+        tracer.stop("validate")
         test_loss, test_tasks = trainer.evaluate(state, test_loader)
         history.append(
             {"train": train_loss, "val": val_loss, "test": test_loss, "epoch": epoch}
         )
+        if writer is not None:
+            writer.add_scalar("train_loss", train_loss, epoch)
+            writer.add_scalar("val_loss", val_loss, epoch)
+            writer.add_scalar("test_loss", test_loss, epoch)
+            for i, t in enumerate(np.asarray(train_tasks)):
+                writer.add_scalar(f"train_task_{i}", float(t), epoch)
         if verbosity > 0:
             lr = get_learning_rate(state.opt_state)
             print(
@@ -238,6 +273,8 @@ def train_validate_test(
         if use_ckpt and epoch >= warmup and val_loss < best_val:
             best_val = val_loss
             best_state = state
+            if ckpt_mngr is not None:
+                ckpt_mngr.save(epoch, state, extra={"val_loss": float(val_loss)})
 
         # early stopping
         if use_early_stop:
@@ -249,5 +286,7 @@ def train_validate_test(
                 if es_bad >= patience:
                     break
 
+    if writer is not None:
+        writer.close()
     final_state = best_state if (use_ckpt and best_val < float("inf")) else state
     return final_state, {"history": history, "best_val": best_val}
