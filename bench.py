@@ -21,6 +21,8 @@ def build_bench_batch(n_graphs=64, nodes_per_graph=256, avg_degree=16, seed=0):
     from hydragnn_tpu.data.batching import collate
     from hydragnn_tpu.data.sample import GraphSample
 
+    from hydragnn_tpu.data.pipeline import sort_edges_by_receiver
+
     rng = np.random.default_rng(seed)
     samples = []
     for _ in range(n_graphs):
@@ -42,9 +44,16 @@ def build_bench_batch(n_graphs=64, nodes_per_graph=256, avg_degree=16, seed=0):
                 y_node=y_node,
             )
         )
-    n_node = n_graphs * nodes_per_graph + 8
+    sort_edges_by_receiver(samples)
+    n_node = n_graphs * nodes_per_graph + 128  # multiple of the 128-row tile
     n_edge = n_graphs * nodes_per_graph * avg_degree + 8
-    return collate(samples, n_node, n_edge, n_graphs + 1)
+    max_deg = max(
+        int(np.bincount(s.edge_index[k]).max()) for s in samples for k in (0, 1)
+    )
+    mb = int(np.ceil((128 * max_deg + 8) / 512)) + 1
+    return collate(
+        samples, n_node, n_edge, n_graphs + 1, agg_plan=(128, 512, mb)
+    )
 
 
 def main():
@@ -82,18 +91,23 @@ def main():
         pna_deg=tuple(np.bincount(np.full(16384, 16)).tolist()),
     )
     model = create_model("PNA", cfg)
-    trainer = Trainer(model, {"type": "AdamW", "learning_rate": 1e-3})
+    # bf16 compute + fp32 master params: the production precision policy
+    # (reference runs bf16 autocast at scale, SC25-job scripts)
+    trainer = Trainer(
+        model, {"type": "AdamW", "learning_rate": 1e-3}, precision="bf16"
+    )
     state = trainer.init_state(batch)
 
-    # warmup/compile
+    # warmup/compile (float() materializes on host -- a REAL device sync;
+    # block_until_ready alone does not synchronize through the axon tunnel)
     state, loss, _ = trainer.train_step(state, batch)
-    jax.block_until_ready(loss)
+    _ = float(loss)
 
     n_iter = 20
     t0 = time.perf_counter()
     for _ in range(n_iter):
         state, loss, _ = trainer.train_step(state, batch)
-    jax.block_until_ready(loss)
+    _ = float(loss)
     dt = time.perf_counter() - t0
 
     # edge messages through one conv layer per second: each step pushes every

@@ -108,6 +108,9 @@ def _build_datasets(config: Dict):
         assert list(arch["edge_features"]) == ["lengths"], "only lengths supported"
         if samples[0].edge_attr is None:
             add_edge_lengths(samples)
+    from hydragnn_tpu.data.pipeline import sort_edges_by_receiver
+
+    sort_edges_by_receiver(samples)
     if arch.get("mpnn_type") == "DimeNet":
         from hydragnn_tpu.data.batching import build_triplets
 

@@ -67,12 +67,45 @@ def compute_triplet_dim(
     return _round_up(batch_size * max_t + 1, multiple)
 
 
+def _build_agg_plans(senders, receivers, edge_mask, n_node, TN, TE, MB):
+    """Pallas aggregation plans (ops/pallas_segment.py) for both edge
+    endpoints; returns GraphBatch field dict."""
+    from hydragnn_tpu.ops.pallas_segment import plan_segment_tiles
+
+    rp = plan_segment_tiles(receivers, edge_mask, n_node, TN, TE, MB)
+    key = np.where(edge_mask, senders, n_node - 1).astype(np.int64)
+    perm = np.argsort(key, kind="stable").astype(np.int32)
+    sp = plan_segment_tiles(
+        key[perm].astype(np.int32), edge_mask[perm], n_node, TN, TE, MB
+    )
+    n_tiles = n_node // TN
+    rcv_count = np.bincount(
+        receivers[edge_mask], minlength=n_node
+    ).astype(np.float32)
+    snd_count = np.bincount(
+        senders[edge_mask], minlength=n_node
+    ).astype(np.float32)
+    return {
+        "agg_rcv_off": rp["block_offsets"],
+        "agg_rcv_nb": rp["blocks_per_tile"],
+        "agg_rcv_sid": rp["sid_blocks"].reshape(n_tiles, MB, TE),
+        "agg_snd_perm": perm,
+        "agg_snd_off": sp["block_offsets"],
+        "agg_snd_nb": sp["blocks_per_tile"],
+        "agg_snd_sid": sp["sid_blocks"].reshape(n_tiles, MB, TE),
+        "rcv_count": rcv_count,
+        "snd_count": snd_count,
+        "agg_meta": (TN, TE, MB),
+    }
+
+
 def collate(
     samples: Sequence[GraphSample],
     n_node: int,
     n_edge: int,
     n_graph: int,
     n_triplet: Optional[int] = None,
+    agg_plan: Optional[Tuple[int, int, int]] = None,
 ) -> GraphBatch:
     """Pack samples into one padded GraphBatch (host-side numpy)."""
     bs = len(samples)
@@ -182,7 +215,15 @@ def collate(
         node_off += n
         edge_off += e
 
+    edges_sorted = bool(np.all(np.diff(receivers.astype(np.int64)) >= 0))
+    agg_fields = {}
+    if agg_plan is not None and edges_sorted:
+        agg_fields = _build_agg_plans(
+            senders, receivers, edge_mask, n_node, *agg_plan
+        )
     return GraphBatch(
+        edges_sorted=edges_sorted,
+        **agg_fields,
         x=x,
         pos=pos,
         node_graph=node_graph,
@@ -226,6 +267,9 @@ class PaddedBatcher:
         drop_last: bool = False,
         dims: Optional[Tuple[int, int, int]] = None,
         n_triplet: Optional[int] = None,
+        use_pallas_agg: bool = False,
+        tile_nodes: int = 128,
+        tile_edges: int = 512,
     ):
         self.samples = list(samples)
         self.batch_size = batch_size
@@ -240,6 +284,22 @@ class PaddedBatcher:
             self.n_triplet = compute_triplet_dim(self.samples, batch_size)
         else:
             self.n_triplet = None
+
+        self.agg_plan = None
+        if use_pallas_agg:
+            # round node padding up to the tile and bound blocks-per-tile by
+            # the dataset's max degree (fixed across batches for jit)
+            n_node, n_edge, n_graph = self.dims
+            n_node = _round_up(n_node, tile_nodes)
+            self.dims = (n_node, n_edge, n_graph)
+            max_deg = 1
+            for s in self.samples:
+                if s.num_edges:
+                    d = np.bincount(s.edge_index[1]).max()
+                    d2 = np.bincount(s.edge_index[0]).max()
+                    max_deg = max(max_deg, int(d), int(d2))
+            mb = int(np.ceil((tile_nodes * max_deg + 8) / tile_edges)) + 1
+            self.agg_plan = (tile_nodes, tile_edges, mb)
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -266,4 +326,5 @@ class PaddedBatcher:
                 n_edge,
                 n_graph,
                 n_triplet=self.n_triplet,
+                agg_plan=self.agg_plan,
             )

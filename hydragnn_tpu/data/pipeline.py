@@ -145,6 +145,29 @@ def compute_lap_pe(samples: Sequence[GraphSample], k: int) -> None:
         s.rel_pe = np.abs(pe[src] - pe[dst]).astype(np.float32)
 
 
+def sort_edges_by_receiver(samples: Sequence[GraphSample]) -> None:
+    """In-place per-sample edge sort by receiver.  Because batched node ids
+    are consecutive per graph, this makes the collated batch's receivers
+    globally non-decreasing, enabling XLA's fast sorted-segment lowering on
+    TPU (~1.7x over scatter).  Must run before triplet construction."""
+    for s in samples:
+        if s.edge_index is None or s.num_edges == 0:
+            continue
+        order = np.argsort(s.edge_index[1], kind="stable")
+        s.edge_index = s.edge_index[:, order]
+        if s.edge_attr is not None:
+            s.edge_attr = s.edge_attr[order]
+        if s.edge_shifts is not None:
+            s.edge_shifts = s.edge_shifts[order]
+        if s.rel_pe is not None:
+            s.rel_pe = s.rel_pe[order]
+        if s.trip_kj is not None:
+            inv = np.empty(s.num_edges, np.int64)
+            inv[order] = np.arange(s.num_edges)
+            s.trip_kj = inv[s.trip_kj]
+            s.trip_ji = inv[s.trip_ji]
+
+
 def compositional_stratified_split(
     samples: Sequence[GraphSample], perc_train: float, seed: int = 0
 ) -> Tuple[List[GraphSample], List[GraphSample], List[GraphSample]]:

@@ -76,6 +76,25 @@ class GraphBatch:
     trip_ji: Optional[jnp.ndarray] = None  # [T] int32
     trip_mask: Optional[jnp.ndarray] = None  # [T] bool
 
+    # static (non-pytree) metadata: edges sorted by receiver enables the
+    # fast sorted-segment lowering on TPU (set by the batcher)
+    edges_sorted: bool = struct.field(pytree_node=False, default=False)
+
+    # --- optional Pallas aggregation plans (ops/pallas_segment.py) ---
+    # receiver-side: per node tile, block offsets / counts / local ids
+    agg_rcv_off: Optional[jnp.ndarray] = None  # [T, MB] int32
+    agg_rcv_nb: Optional[jnp.ndarray] = None  # [T] int32
+    agg_rcv_sid: Optional[jnp.ndarray] = None  # [T, MB, TE] int32
+    # sender-side: permutation to sender-sorted order + its plan
+    agg_snd_perm: Optional[jnp.ndarray] = None  # [E] int32
+    agg_snd_off: Optional[jnp.ndarray] = None
+    agg_snd_nb: Optional[jnp.ndarray] = None
+    agg_snd_sid: Optional[jnp.ndarray] = None
+    rcv_count: Optional[jnp.ndarray] = None  # [N] real in-degree (float32)
+    snd_count: Optional[jnp.ndarray] = None  # [N] real out-degree (float32)
+    # (tile_nodes, tile_edges, max_blocks) -- static so jit sees constants
+    agg_meta: Optional[tuple] = struct.field(pytree_node=False, default=None)
+
     # ------------------------------------------------------------------
     @property
     def n_node(self) -> int:

@@ -69,7 +69,9 @@ def masked_error_loss(
     an unmasked torch ``F.mse_loss`` over the unpadded tensors.
     """
     # jnp.where (not multiply-by-mask) so NaNs in padding rows cannot
-    # poison the sum via 0 * NaN
+    # poison the sum via 0 * NaN; accumulate in fp32 even under bf16 compute
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
     diff = jnp.where(mask[:, None], pred - target, 0.0)
     count = jnp.maximum(jnp.sum(mask.astype(pred.dtype)) * pred.shape[-1], 1.0)
     lt = loss_type.lower()
@@ -615,11 +617,13 @@ class ConvStack(nn.Module):
         if mode == "sum":
             mode = "add"
         if mode == "mean":
-            s = segment_sum(x, graph.node_graph, graph.n_graph, mask=graph.node_mask)
+            s = segment_sum(x, graph.node_graph, graph.n_graph,
+                            mask=graph.node_mask, indices_are_sorted=True)
             cnt = jnp.maximum(graph.n_per_graph.astype(x.dtype), 1.0)[:, None]
             return s / cnt
         if mode == "add":
-            return segment_sum(x, graph.node_graph, graph.n_graph, mask=graph.node_mask)
+            return segment_sum(x, graph.node_graph, graph.n_graph,
+                               mask=graph.node_mask, indices_are_sorted=True)
         if mode == "max":
             from hydragnn_tpu.ops import segment_max
 

@@ -34,6 +34,7 @@ from hydragnn_tpu.models.radial import (
     sinc_expansion,
 )
 from hydragnn_tpu.ops import segment_mean, segment_sum
+from hydragnn_tpu.ops.aggregate import aggregate, gather_nodes
 
 
 def edge_vectors_lengths(
@@ -107,8 +108,8 @@ class CFConv(nn.Module):
                 trans, graph.senders, graph.n_node, mask=graph.edge_mask
             )
             pos = pos + agg
-        msg = h[graph.senders] * W
-        out = segment_sum(msg, graph.receivers, graph.n_node, mask=graph.edge_mask)
+        msg = gather_nodes(graph, h, "senders") * W
+        out = aggregate(graph, msg, "sum", "receivers")
         out = nn.Dense(self.out_dim, name="lin2")(out)
         return out, pos
 
@@ -174,21 +175,37 @@ class PNAPlusConv(nn.Module):
             e = nn.Dense(self.in_dim, name="edge_encoder")(e)
         else:
             e = rbf_emb
-        h = jnp.concatenate(
-            [inv[graph.receivers], inv[graph.senders], e], axis=-1
+        # split pre-linear: node partial products at nodes, gathered per edge
+        h_i = nn.Dense(self.in_dim, name="pre_nn_i")(inv)
+        h_j = nn.Dense(self.in_dim, use_bias=False, name="pre_nn_j")(inv)
+        h = (
+            gather_nodes(graph, h_i, "receivers")
+            + gather_nodes(graph, h_j, "senders")
+            + nn.Dense(self.in_dim, use_bias=False, name="pre_nn_e")(e)
         )
-        h = nn.Dense(self.in_dim, name="pre_nn")(h)
         # Hadamard with projected rbf (PNAPlusStack.py:271-279)
         h = h * nn.Dense(self.in_dim, use_bias=False, name="rbf_lin")(rbf)
 
+        srt = graph.edges_sorted
+        m12 = aggregate(
+            graph, jnp.concatenate([h, h * h], axis=-1), "mean", "receivers"
+        )
+        mean1, mean2 = jnp.split(m12, 2, axis=-1)
+        std = jnp.sqrt(jax.nn.relu(mean2 - mean1 * mean1) + 1e-5)
         aggs = [
-            segment_mean(h, graph.receivers, N, mask=graph.edge_mask),
-            segment_min(h, graph.receivers, N, mask=graph.edge_mask),
-            segment_max(h, graph.receivers, N, mask=graph.edge_mask),
-            segment_std(h, graph.receivers, N, mask=graph.edge_mask),
+            mean1,
+            segment_min(h, graph.receivers, N, mask=graph.edge_mask,
+                        indices_are_sorted=srt),
+            segment_max(h, graph.receivers, N, mask=graph.edge_mask,
+                        indices_are_sorted=srt),
+            std,
         ]
         out = jnp.concatenate(aggs, axis=-1)
-        deg = segment_count(graph.receivers, N, mask=graph.edge_mask, dtype=inv.dtype)
+        if graph.rcv_count is not None:
+            deg = graph.rcv_count.astype(inv.dtype)
+        else:
+            deg = segment_count(graph.receivers, N, mask=graph.edge_mask,
+                                dtype=inv.dtype, indices_are_sorted=srt)
         logd = jnp.log(deg + 1.0)
         amp = (logd / self.avg_deg_log)[:, None]
         att = (self.avg_deg_log / jnp.maximum(logd, 1e-12))[:, None]
@@ -270,7 +287,7 @@ class EGCLConv(nn.Module):
             pos = pos + segment_mean(
                 trans, graph.senders, graph.n_node, mask=graph.edge_mask
             )
-        agg = segment_sum(ef, graph.senders, graph.n_node, mask=graph.edge_mask)
+        agg = aggregate(graph, ef, "sum", "senders")
         out = MLP(
             (self.hidden_dim, self.out_dim), activation="relu", name="node_mlp"
         )(jnp.concatenate([inv, agg], axis=-1))
@@ -350,9 +367,7 @@ class PainnConv(nn.Module):
         gate_v, gate_e, msg_s = jnp.split(fo, 3, axis=-1)
         msg_v = equiv[graph.receivers] * gate_v[:, None, :]
         msg_v = msg_v + gate_e[:, None, :] * (diff / d)[:, :, None]
-        s = inv + segment_sum(
-            msg_s, graph.senders, graph.n_node, mask=graph.edge_mask
-        )
+        s = inv + aggregate(graph, msg_s, "sum", "senders")
         v = equiv + segment_sum(
             msg_v, graph.senders, graph.n_node, mask=graph.edge_mask
         )
@@ -619,7 +634,7 @@ class DimeConv(nn.Module):
 
         # output-PP block: edges -> nodes
         o = nn.Dense(self.hidden, use_bias=False, name="out_lin_rbf")(rbf) * hh
-        o = segment_sum(o, graph.receivers, graph.n_node, mask=graph.edge_mask)
+        o = aggregate(graph, o, "sum", "receivers")
         o = nn.Dense(self.out_emb_size, use_bias=False, name="out_lin_up")(o)
         o = act(nn.Dense(self.out_emb_size, name="out_lin_0")(o))
         o = nn.Dense(self.out_dim, use_bias=False, name="out_lin")(o)

@@ -187,9 +187,9 @@ class MACELayer(nn.Module):
         message: IrrepsArray = {}
         for l, arr in mji.items():
             flat = arr.reshape(arr.shape[0], -1)
-            agg = segment_sum(
-                flat, graph.receivers, graph.n_node, mask=graph.edge_mask
-            )
+            from hydragnn_tpu.ops.aggregate import aggregate
+
+            agg = aggregate(graph, flat, "sum", "receivers")
             message[l] = agg.reshape(graph.n_node, arr.shape[1], arr.shape[2])
         mid_irreps = tuple((mul, l) for l in sorted(message))
         message = LinearIrreps(mid_irreps, self.hidden_irreps, name="linear_mid")(

@@ -1,0 +1,220 @@
+"""Pallas TPU kernel: sorted-segment sum (the core SpMM of message
+aggregation).
+
+Replaces XLA's scatter-based lowering (~13% of HBM bandwidth on v5e) for
+edges SORTED BY RECEIVER (the batcher's layout, data/pipeline.py
+``sort_edges_by_receiver``).
+
+Design:
+  * host-side binning: node rows are tiled (TN rows); because edges are
+    sorted by receiver, each node tile owns a contiguous edge range,
+    covered by edge blocks of TE rows (block offsets scalar-prefetched);
+  * grid (feature_block, node_tile, edge_block) -- edge blocks innermost so
+    the [TN, TF] output tile stays resident in VMEM and accumulates across
+    its edge blocks (consecutive output revisiting);
+  * per block, the segment reduction is a [TN, TE] x [TE, TF] one-hot
+    matmul on the MXU (onehot[r, e] = (receiver_local[e] == r)).  Extra
+    FLOPs = 2*TN per input element -- at TN=128 that is ~1.7e10 FLOP for a
+    262k x 256 aggregation, well under the MXU's capacity relative to the
+    ~270 MB of HBM traffic this op is bound by.  No scatter anywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def plan_segment_tiles(
+    receivers: np.ndarray,  # [E] sorted (host numpy)
+    edge_mask: np.ndarray,
+    n_node: int,
+    tile_nodes: int = 128,
+    tile_edges: int = 512,
+    fixed_max_blocks: Optional[int] = None,
+) -> dict:
+    """Host-side plan: per node tile, the contiguous (sorted) edge range is
+    covered by ceil(count/TE) blocks starting at the range start.  Blocks
+    may overlap the neighbouring tile's edges; the kernel masks rows whose
+    receiver falls outside the tile, so overlap is harmless."""
+    E = receivers.shape[0]
+    n_tiles = (n_node + tile_nodes - 1) // tile_nodes
+    rec = np.where(edge_mask, receivers, n_node - 1)
+    tile_of_edge = rec // tile_nodes
+    starts = np.searchsorted(tile_of_edge, np.arange(n_tiles)).astype(np.int64)
+    ends = np.searchsorted(tile_of_edge, np.arange(1, n_tiles + 1)).astype(np.int64)
+    # Mosaic requires sublane-dim slice starts divisible by 8: align each
+    # tile's first block down; over-covered rows belong to the previous
+    # tile and are masked in-kernel.  TE is a multiple of 8, so every block
+    # offset stays aligned.
+    assert tile_edges % 8 == 0
+    starts_aligned = (starts // 8) * 8
+    counts = ends - starts_aligned
+    blocks = np.maximum((counts + tile_edges - 1) // tile_edges, 0)
+    max_blocks = max(int(blocks.max()), 1)
+    if fixed_max_blocks is not None:
+        assert max_blocks <= fixed_max_blocks, (
+            f"tile needs {max_blocks} blocks > fixed {fixed_max_blocks}"
+        )
+        max_blocks = fixed_max_blocks
+    block_offsets = np.zeros((n_tiles, max_blocks), np.int32)
+    block_valid = np.zeros((n_tiles, max_blocks), np.int32)
+    # offsets are NOT clipped: the kernel input is padded by tile_edges
+    # trailing masked rows so every [off, off+TE) window is in bounds and
+    # blocks of one tile never overlap each other (no double counting)
+    rec_ext = np.concatenate([rec, np.full(tile_edges, -(10 * n_node), rec.dtype)])
+    mask_ext = np.concatenate([edge_mask, np.zeros(tile_edges, bool)])
+    # host-precomputed local row ids per (tile, block): receiver - tile
+    # start, with out-of-tile / masked rows set to -1
+    sid_blocks = np.full((n_tiles * max_blocks, tile_edges), -1, np.int32)
+    for t in range(n_tiles):
+        for b in range(max_blocks):
+            if b < blocks[t]:
+                off = starts_aligned[t] + b * tile_edges
+                block_offsets[t, b] = off
+                block_valid[t, b] = 1
+                ids = rec_ext[off : off + tile_edges].astype(np.int64) - t * tile_nodes
+                ok = (
+                    (ids >= 0)
+                    & (ids < tile_nodes)
+                    & mask_ext[off : off + tile_edges]
+                )
+                sid_blocks[t * max_blocks + b] = np.where(ok, ids, -1)
+    return {
+        "block_offsets": block_offsets,
+        "block_valid": block_valid,
+        "blocks_per_tile": blocks.astype(np.int32),
+        "sid_blocks": sid_blocks,
+        "max_blocks": max_blocks,
+        "tile_nodes": tile_nodes,
+        "tile_edges": tile_edges,
+    }
+
+
+def sorted_segment_sum_pallas(
+    data: jnp.ndarray,
+    receivers: jnp.ndarray,
+    edge_mask: jnp.ndarray,
+    n_node: int,
+    plan: dict,
+    tile_features: int = 256,
+) -> jnp.ndarray:
+    """Convenience wrapper taking the host plan dict (tests/benchmarks)."""
+    n_tiles = (n_node + plan["tile_nodes"] - 1) // plan["tile_nodes"]
+    MB = plan["max_blocks"]
+    return segment_sum_pallas_raw(
+        data,
+        jnp.asarray(plan["block_offsets"]),
+        jnp.asarray(plan["blocks_per_tile"]),
+        jnp.asarray(plan["sid_blocks"]).reshape(n_tiles, MB, -1),
+        n_node,
+        (plan["tile_nodes"], plan["tile_edges"], MB),
+        tile_features,
+    )
+
+
+def segment_sum_pallas_raw(
+    data: jnp.ndarray,  # [E, F] messages (edges sorted by the plan's key)
+    block_offsets: jnp.ndarray,  # [T, MB] int32
+    nblocks: jnp.ndarray,  # [T] int32
+    sid_all: jnp.ndarray,  # [T, MB, TE] int32
+    n_node: int,
+    meta: Tuple[int, int, int],  # (TN, TE, MB)
+    tile_features: int = 256,
+) -> jnp.ndarray:
+    """Masked sorted-segment sum via the tiled one-hot SpMM kernel.
+
+    Blocks may over-cover neighbouring tiles' edges; host-precomputed local
+    ids are -1 there, matching no output row, so each edge contributes
+    exactly once.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    E, F = data.shape
+    TN, TE, MB = meta
+    n_tiles = (n_node + TN - 1) // TN
+    TF = min(tile_features, F)
+    assert F % TF == 0, f"F={F} must divide TF={TF}"
+    assert n_node % TN == 0, f"n_node={n_node} % TN={TN}"
+    # TE rows of slack so unaligned [off, off+TE) windows stay in bounds
+    data = jnp.concatenate([data, jnp.zeros((TE,) + data.shape[1:], data.dtype)])
+
+    def kernel(off_ref, nb_ref, sid_ref, x_hbm, o_ref, xs, sem_x):
+        f = pl.program_id(0)
+        t = pl.program_id(1)
+        nb = nb_ref[t]
+
+        def dma(bb, slot):
+            start = pl.multiple_of(off_ref[t, bb], 8)
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(start, TE), pl.ds(f * TF, TF)],
+                xs.at[slot],
+                sem_x.at[slot],
+            )
+
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+        @pl.when(nb > 0)
+        def _run():
+            dma(0, 0).start()
+
+            def body(b, acc):
+                @pl.when(b + 1 < nb)
+                def _prefetch():
+                    dma(b + 1, (b + 1) % 2).start()
+
+                dma(b, b % 2).wait()
+                sid = sid_ref[0, pl.ds(b, 1), :]  # [1, TE]; -1 matches no row
+                row_ids = jax.lax.broadcasted_iota(jnp.int32, (TN, TE), 0)
+                onehot = (row_ids == sid).astype(jnp.float32)
+
+                def dot(a, x):
+                    return jax.lax.dot_general(
+                        a,
+                        x,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+
+                x = xs[b % 2]
+                if x.dtype == jnp.bfloat16:
+                    return acc + dot(onehot, x.astype(jnp.float32))
+                # exact fp32 sum in 2 bf16 MXU passes: one-hot entries are
+                # exact in bf16, so splitting the data into bf16 hi + lo
+                # halves reconstructs the fp32 sum (vs 6 passes at HIGHEST)
+                xf = x.astype(jnp.float32)
+                hi = xf.astype(jnp.bfloat16).astype(jnp.float32)
+                lo = xf - hi
+                return acc + dot(onehot, hi) + dot(onehot, lo)
+
+            acc = jax.lax.fori_loop(
+                0, nb, body, jnp.zeros((TN, TF), jnp.float32)
+            )
+            o_ref[:] = acc.astype(o_ref.dtype)
+
+    grid = (F // TF, n_tiles)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, MB, TE), lambda f, t, off, nb: (t, 0, 0)
+                ),  # sid rows for this tile
+                pl.BlockSpec(memory_space=pltpu.ANY),  # data [E+TE, F]
+            ],
+            out_specs=pl.BlockSpec((TN, TF), lambda f, t, off, nb: (t, f)),
+            scratch_shapes=[
+                pltpu.VMEM((2, TE, TF), data.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_node, F), data.dtype),
+    )(block_offsets, nblocks, sid_all, data)
+    return out

@@ -30,10 +30,12 @@ def segment_sum(
     segment_ids: jnp.ndarray,
     num_segments: int,
     mask: Optional[jnp.ndarray] = None,
+    indices_are_sorted: bool = False,
 ) -> jnp.ndarray:
     data = _masked(data, mask, 0.0)
-    out_shape = (num_segments,) + data.shape[1:]
-    return jnp.zeros(out_shape, data.dtype).at[segment_ids].add(data)
+    return jax.ops.segment_sum(
+        data, segment_ids, num_segments, indices_are_sorted=indices_are_sorted
+    )
 
 
 def segment_count(
@@ -41,11 +43,14 @@ def segment_count(
     num_segments: int,
     mask: Optional[jnp.ndarray] = None,
     dtype=jnp.float32,
+    indices_are_sorted: bool = False,
 ) -> jnp.ndarray:
     ones = jnp.ones(segment_ids.shape, dtype)
     if mask is not None:
         ones = jnp.where(mask, ones, jnp.zeros((), dtype))
-    return jnp.zeros((num_segments,), dtype).at[segment_ids].add(ones)
+    return jax.ops.segment_sum(
+        ones, segment_ids, num_segments, indices_are_sorted=indices_are_sorted
+    )
 
 
 def segment_mean(
@@ -53,9 +58,12 @@ def segment_mean(
     segment_ids: jnp.ndarray,
     num_segments: int,
     mask: Optional[jnp.ndarray] = None,
+    indices_are_sorted: bool = False,
 ) -> jnp.ndarray:
-    s = segment_sum(data, segment_ids, num_segments, mask)
-    cnt = segment_count(segment_ids, num_segments, mask, dtype=data.dtype)
+    s = segment_sum(data, segment_ids, num_segments, mask, indices_are_sorted)
+    cnt = segment_count(
+        segment_ids, num_segments, mask, data.dtype, indices_are_sorted
+    )
     cnt = jnp.maximum(cnt, 1.0)
     return s / cnt.reshape((num_segments,) + (1,) * (data.ndim - 1))
 
@@ -66,14 +74,19 @@ def segment_max(
     num_segments: int,
     mask: Optional[jnp.ndarray] = None,
     empty_value: float = 0.0,
+    indices_are_sorted: bool = False,
 ) -> jnp.ndarray:
     """Max-reduce; segments with no (real) contribution return empty_value
     (PyG's aggregation returns 0 for empty segments after masked fill)."""
     neg = jnp.asarray(jnp.finfo(data.dtype).min, data.dtype)
     data = _masked(data, mask, neg)
-    out_shape = (num_segments,) + data.shape[1:]
-    out = jnp.full(out_shape, neg, data.dtype).at[segment_ids].max(data)
-    cnt = segment_count(segment_ids, num_segments, mask, dtype=jnp.int32)
+    out = jax.ops.segment_max(
+        data, segment_ids, num_segments, indices_are_sorted=indices_are_sorted
+    )
+    out = jnp.maximum(out, neg)  # segment_max fills empty segments with -inf
+    cnt = segment_count(
+        segment_ids, num_segments, mask, jnp.int32, indices_are_sorted
+    )
     has = (cnt > 0).reshape((num_segments,) + (1,) * (data.ndim - 1))
     return jnp.where(has, out, jnp.asarray(empty_value, data.dtype))
 
@@ -84,12 +97,17 @@ def segment_min(
     num_segments: int,
     mask: Optional[jnp.ndarray] = None,
     empty_value: float = 0.0,
+    indices_are_sorted: bool = False,
 ) -> jnp.ndarray:
     pos = jnp.asarray(jnp.finfo(data.dtype).max, data.dtype)
     data = _masked(data, mask, pos)
-    out_shape = (num_segments,) + data.shape[1:]
-    out = jnp.full(out_shape, pos, data.dtype).at[segment_ids].min(data)
-    cnt = segment_count(segment_ids, num_segments, mask, dtype=jnp.int32)
+    out = jax.ops.segment_min(
+        data, segment_ids, num_segments, indices_are_sorted=indices_are_sorted
+    )
+    out = jnp.minimum(out, pos)
+    cnt = segment_count(
+        segment_ids, num_segments, mask, jnp.int32, indices_are_sorted
+    )
     has = (cnt > 0).reshape((num_segments,) + (1,) * (data.ndim - 1))
     return jnp.where(has, out, jnp.asarray(empty_value, data.dtype))
 
@@ -100,11 +118,14 @@ def segment_std(
     num_segments: int,
     mask: Optional[jnp.ndarray] = None,
     eps: float = 1e-5,
+    indices_are_sorted: bool = False,
 ) -> jnp.ndarray:
     """Std aggregator matching PyG ``StdAggregation`` semantics used by
     PNAConv: sqrt(relu(E[x^2]-E[x]^2) + eps)."""
-    mean = segment_mean(data, segment_ids, num_segments, mask)
-    mean2 = segment_mean(data * data, segment_ids, num_segments, mask)
+    mean = segment_mean(data, segment_ids, num_segments, mask, indices_are_sorted)
+    mean2 = segment_mean(
+        data * data, segment_ids, num_segments, mask, indices_are_sorted
+    )
     var = jax.nn.relu(mean2 - mean * mean)
     return jnp.sqrt(var + eps)
 

@@ -48,43 +48,75 @@ class Trainer:
         opt_config: Dict,
         seed: int = 0,
         mlip: Optional[Dict] = None,
+        precision: str = "fp32",
     ):
         self.model = model
         self.tx = make_optimizer(opt_config)
         self.seed = seed
         self.mlip = mlip
+        self.precision = (precision or "fp32").lower()
+
+        def _cast_in(tree):
+            """bf16 autocast analogue (reference PRECISION_MAP,
+            train_validate_test.py:43-49: fp32 master params + bf16
+            compute): cast float leaves for the forward/backward."""
+            if self.precision != "bf16":
+                return tree
+            return jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                tree,
+            )
+
+        def _cast_grads(tree):
+            if self.precision != "bf16":
+                return tree
+            return jax.tree.map(lambda g: g.astype(jnp.float32), tree)
+
+        self._cast_in = _cast_in
+        self._cast_grads = _cast_grads
 
         @jax.jit
         def _train_step(state: TrainState, batch: GraphBatch):
             rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), state.step)
+            batch = _cast_in(batch)
 
             def loss_fn(params):
+                params_c = _cast_in(params)
                 if self.mlip is not None:
                     from hydragnn_tpu.models.mlip import energy_force_loss
 
                     tot, tasks, new_bs, _, _ = energy_force_loss(
                         self.model,
-                        params,
+                        params_c,
                         state.batch_stats,
                         batch,
                         self.mlip,
                         train=True,
                         rng=rng,
                     )
-                    return tot, (tasks, new_bs)
+                    return tot.astype(jnp.float32), (tasks, new_bs)
                 out, mutated = self.model.apply(
-                    {"params": params, "batch_stats": state.batch_stats},
+                    {"params": params_c, "batch_stats": state.batch_stats},
                     batch,
                     train=True,
                     mutable=["batch_stats"],
                     rngs={"dropout": rng},
                 )
                 tot, tasks = self.model.loss(out, batch)
-                return tot, (tasks, mutated["batch_stats"])
+                return tot.astype(jnp.float32), (tasks, mutated["batch_stats"])
 
             (loss, (tasks, new_bs)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params)
+            grads = _cast_grads(grads)
+            new_bs = jax.tree.map(
+                lambda x: x.astype(jnp.float32)
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                new_bs,
+            )
             updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
             new_params = jax.tree.map(
                 lambda p, u: p + u, state.params, updates
@@ -99,6 +131,8 @@ class Trainer:
 
         @jax.jit
         def _eval_step(state: TrainState, batch: GraphBatch):
+            batch = _cast_in(batch)
+            state = state.replace(params=_cast_in(state.params))
             if self.mlip is not None:
                 from hydragnn_tpu.models.mlip import energy_force_loss
 
