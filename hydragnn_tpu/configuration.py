@@ -173,6 +173,21 @@ def update_config(
     elif mpnn == "CGCNN":
         arch["edge_dim"] = 0
 
+    # y_minmax for output denormalization (reference normalize_output_config,
+    # config_utils.py:271-319): per-head [min, max] from the dataset tables
+    if var_cfg.get("denormalize_output") and "_derived" in config:
+        mm = config["_derived"].get("minmax")
+        if mm is not None:
+            y_minmax = []
+            for t, idx in zip(var_cfg["type"], var_cfg["output_index"]):
+                tab = (
+                    mm["minmax_graph_feature"]
+                    if t == "graph"
+                    else mm["minmax_node_feature"]
+                )
+                y_minmax.append([float(tab[0, idx]), float(tab[1, idx])])
+            var_cfg["y_minmax"] = y_minmax
+
     arch.setdefault("equivariance", None)
     arch.setdefault("freeze_conv_layers", False)
     arch.setdefault("initial_bias", None)

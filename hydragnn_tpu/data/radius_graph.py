@@ -51,6 +51,22 @@ def radius_graph(
     return np.asarray([senders, receivers], dtype=np.int64).reshape(2, -1)
 
 
+def add_spherical_coordinates(samples: List[GraphSample]) -> None:
+    """PyG ``Spherical(norm=False, cat=False)`` analogue (reference
+    ``abstractrawdataset.py:130-137``): edge_attr = (rho, theta, phi) of
+    the edge vector."""
+    for s in samples:
+        vec = s.pos[s.edge_index[1]] - s.pos[s.edge_index[0]]
+        if s.edge_shifts is not None:
+            vec = vec + s.edge_shifts
+        rho = np.linalg.norm(vec, axis=-1)
+        theta = np.arctan2(vec[:, 1], vec[:, 0])
+        theta = np.where(theta < 0, theta + 2 * np.pi, theta)
+        safe = np.where(rho > 0, rho, 1.0)
+        phi = np.arccos(np.clip(vec[:, 2] / safe, -1.0, 1.0))
+        s.edge_attr = np.stack([rho, theta, phi], axis=-1).astype(np.float32)
+
+
 def add_edge_lengths(samples: List[GraphSample], normalize_max: bool = True) -> float:
     """Append edge length as (or to) edge_attr; divide by the global max
     across the dataset (reference ``abstractrawdataset.py:366-387`` /

@@ -262,8 +262,25 @@ def train_validate_test(
 
     from hydragnn_tpu.utils.tracer import tracer
 
+    # remaining-walltime early stop (reference check_remaining,
+    # distributed.py:614-639 + train_validate_test.py:430-437): stop when
+    # the next epoch would not fit in the remaining budget
+    import time as _time
+
+    walltime = training.get("CheckRemainingTime")
+    if isinstance(walltime, bool):
+        walltime = os.environ.get("HYDRAGNN_TPU_WALLTIME") if walltime else None
+    walltime = float(walltime) if walltime else None
+    t_start = _time.time()
+    last_epoch_dur = 0.0
+
     history: List[Dict[str, float]] = []
     for epoch in range(num_epoch):
+        if walltime is not None and (
+            _time.time() - t_start + 1.2 * last_epoch_dur > walltime
+        ):
+            break
+        t_epoch = _time.time()
         for loader in (train_loader, val_loader, test_loader):
             if hasattr(loader, "set_epoch"):
                 loader.set_epoch(epoch)
@@ -309,6 +326,8 @@ def train_validate_test(
             best_state = state
             if ckpt_mngr is not None:
                 ckpt_mngr.save(epoch, state, extra={"val_loss": float(val_loss)})
+
+        last_epoch_dur = _time.time() - t_epoch
 
         # early stopping
         if use_early_stop:

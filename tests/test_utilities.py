@@ -1,0 +1,156 @@
+"""HPO harness, energy regression, LSMS utils, XYZ parsing, descriptors,
+Spherical transform, y_minmax denormalization."""
+
+import numpy as np
+
+from hydragnn_tpu.data.energy_regression import (
+    fit_linear_energies,
+    subtract_linear_energies,
+)
+from hydragnn_tpu.data.lennard_jones import lennard_jones_data
+from hydragnn_tpu.data.radius_graph import add_spherical_coordinates, radius_graph
+from hydragnn_tpu.data.sample import GraphSample
+from hydragnn_tpu.data.xyz import atomic_descriptors, parse_xyz_file
+from hydragnn_tpu.hpo import apply_overrides, random_search, sample_config
+from hydragnn_tpu.utils.lsms_utils import (
+    compositional_histogram_cutoff,
+    convert_total_energy_to_formation,
+    ideal_mixing_entropy,
+    stratified_subsample,
+)
+
+
+def test_energy_linear_regression_recovers_coeffs():
+    rng = np.random.default_rng(0)
+    true_e = {1: -13.6, 6: -1000.0, 8: -2000.0}
+    samples = []
+    for _ in range(50):
+        n = rng.integers(3, 8)
+        zs = rng.choice([1, 6, 8], n)
+        e = sum(true_e[int(z)] for z in zs) + rng.normal(0, 1e-3)
+        samples.append(
+            GraphSample(
+                x=zs.astype(np.float32)[:, None],
+                pos=rng.normal(size=(n, 3)).astype(np.float32),
+                energy=np.float32(e),
+            )
+        )
+    coeffs = fit_linear_energies(samples)
+    for z, e in true_e.items():
+        assert abs(coeffs[z - 1] - e) < 0.1
+    subtract_linear_energies(samples, coeffs)
+    assert all(abs(float(s.energy)) < 0.5 for s in samples)
+
+
+def test_hpo_sampling_and_overrides():
+    import random
+
+    space = {
+        "NeuralNetwork.Architecture.hidden_dim": [8, 16],
+        "NeuralNetwork.Training.Optimizer.learning_rate": ("log", 1e-4, 1e-1),
+        "NeuralNetwork.Architecture.num_conv_layers": ("int", 1, 3),
+    }
+    s = sample_config(space, random.Random(0))
+    assert s["NeuralNetwork.Architecture.hidden_dim"] in (8, 16)
+    assert 1e-4 <= s["NeuralNetwork.Training.Optimizer.learning_rate"] <= 1e-1
+    cfg = apply_overrides({"NeuralNetwork": {"Architecture": {}}}, s)
+    assert cfg["NeuralNetwork"]["Architecture"]["hidden_dim"] in (8, 16)
+
+
+def test_hpo_random_search_with_stub_objective():
+    base = {"Dataset": {"name": "t"}}
+    space = {"a.b": [1, 2, 3]}
+    best, best_val, trials = random_search(
+        base, space, num_trials=5, objective=lambda cfg: cfg["a"]["b"]
+    )
+    assert best["a.b"] == 1
+    assert len(trials) == 5
+
+
+def test_lsms_formation_and_cutoff():
+    samples = []
+    rng = np.random.default_rng(1)
+    for i in range(20):
+        zs = np.asarray([26, 26, 29][: 2 + i % 2])
+        samples.append(
+            GraphSample(
+                x=zs.astype(np.float32)[:, None],
+                pos=rng.normal(size=(len(zs), 3)).astype(np.float32),
+                energy=np.float32(-100.0 * len(zs)),
+                y_raw=np.asarray([-100.0 * len(zs)], np.float32),
+            )
+        )
+    convert_total_energy_to_formation(samples, {26: -90.0, 29: -80.0})
+    assert abs(float(samples[0].energy) - (-200 + 180)) < 1e-4
+    capped = compositional_histogram_cutoff(samples, 5)
+    assert len(capped) == 10
+    sub = stratified_subsample(samples, 0.5)
+    assert 0 < len(sub) < 20
+    assert ideal_mixing_entropy([0.5, 0.5]) > 0
+
+
+def test_xyz_parse(tmp_path):
+    p = tmp_path / "mol.xyz"
+    p.write_text(
+        '3\nenergy=-7.5 Lattice="10 0 0 0 10 0 0 0 10"\n'
+        "O 0.0 0.0 0.0 0.1 0.0 0.0\n"
+        "H 0.96 0.0 0.0 -0.1 0.0 0.0\n"
+        "H -0.24 0.93 0.0 0.0 0.0 0.0\n"
+    )
+    samples = parse_xyz_file(str(p))
+    assert len(samples) == 1
+    s = samples[0]
+    assert s.num_nodes == 3
+    np.testing.assert_allclose(s.x[:, 0], [8, 1, 1])
+    assert abs(float(s.energy) + 7.5) < 1e-6
+    assert s.forces is not None and s.cell is not None
+    d = atomic_descriptors([1, 8], one_hot_elements=[1, 6, 8])
+    assert d.shape == (2, 6)
+
+
+def test_spherical_coordinates():
+    s = GraphSample(
+        x=np.ones((2, 1), np.float32),
+        pos=np.asarray([[0, 0, 0], [0, 0, 2.0]], np.float32),
+        edge_index=np.asarray([[0], [1]]),
+    )
+    add_spherical_coordinates([s])
+    rho, theta, phi = s.edge_attr[0]
+    assert abs(rho - 2.0) < 1e-6 and abs(phi) < 1e-6  # along +z
+
+
+def test_y_minmax_denormalize_wiring():
+    import hydragnn_tpu
+    from hydragnn_tpu.api import _build_datasets
+    from hydragnn_tpu.configuration import update_config
+
+    cfg = {
+        "Dataset": {
+            "name": "dn",
+            "format": "unit_test",
+            "num_samples": 20,
+            "node_features": {"name": ["x", "x2", "x3"], "dim": [1, 1, 1],
+                              "column_index": [0, 6, 7]},
+            "graph_features": {"name": ["g"], "dim": [1], "column_index": [0]},
+        },
+        "NeuralNetwork": {
+            "Architecture": {
+                "mpnn_type": "GIN", "radius": 2.0, "max_neighbours": 10,
+                "hidden_dim": 8, "num_conv_layers": 2,
+                "output_heads": {"graph": {"num_sharedlayers": 1,
+                                           "dim_sharedlayers": 4,
+                                           "num_headlayers": 1,
+                                           "dim_headlayers": [4]}},
+                "task_weights": [1.0],
+            },
+            "Variables_of_interest": {
+                "input_node_features": [0], "output_index": [0],
+                "type": ["graph"], "denormalize_output": True,
+            },
+            "Training": {"batch_size": 4, "num_epoch": 1},
+        },
+    }
+    tr, va, te = _build_datasets(cfg)
+    cfg = update_config(cfg, tr, va, te)
+    ymm = cfg["NeuralNetwork"]["Variables_of_interest"]["y_minmax"]
+    assert len(ymm) == 1 and ymm[0][1] > ymm[0][0]
