@@ -192,12 +192,12 @@ class PNAPlusConv(nn.Module):
         )
         mean1, mean2 = jnp.split(m12, 2, axis=-1)
         std = jnp.sqrt(jax.nn.relu(mean2 - mean1 * mean1) + 1e-5)
+        from hydragnn_tpu.ops.aggregate import segment_extreme
+
         aggs = [
             mean1,
-            segment_min(h, graph.receivers, N, mask=graph.edge_mask,
-                        indices_are_sorted=srt),
-            segment_max(h, graph.receivers, N, mask=graph.edge_mask,
-                        indices_are_sorted=srt),
+            segment_extreme(graph, h, "min"),
+            segment_extreme(graph, h, "max"),
             std,
         ]
         out = jnp.concatenate(aggs, axis=-1)
@@ -259,17 +259,22 @@ class EGCLConv(nn.Module):
     def __call__(self, graph: GraphBatch, inv, equiv, ctx, train: bool = False):
         pos = equiv
         vec_n, radial = edge_vectors_lengths(pos, graph, normalize=True, eps=1.0)
-        parts = [inv[graph.senders], inv[graph.receivers], radial]
+        # first edge-MLP linear computed split (node parts at nodes)
+        e_src = nn.Dense(self.hidden_dim, name="edge_mlp_src")(inv)
+        e_dst = nn.Dense(self.hidden_dim, use_bias=False, name="edge_mlp_dst")(inv)
+        ef = (
+            gather_nodes(graph, e_src, "senders")
+            + gather_nodes(graph, e_dst, "receivers")
+            + nn.Dense(self.hidden_dim, use_bias=False, name="edge_mlp_rad")(radial)
+        )
         ea = ctx.get("edge_attr")
         if self.edge_dim and ea is not None:
-            parts.append(ea.astype(inv.dtype))
-        ef = jnp.concatenate(parts, axis=-1)
-        ef = MLP(
-            (self.hidden_dim, self.hidden_dim),
-            activation="relu",
-            final_activation=True,
-            name="edge_mlp",
-        )(ef)
+            ef = ef + nn.Dense(
+                self.hidden_dim, use_bias=False, name="edge_mlp_attr"
+            )(ea.astype(inv.dtype))
+        ef = jax.nn.relu(ef)
+        ef = nn.Dense(self.hidden_dim, name="edge_mlp_out")(ef)
+        ef = jax.nn.relu(ef)
         if self.equivariant:
             cm = nn.Dense(self.hidden_dim, name="coord_0")(ef)
             cm = jax.nn.relu(cm)
@@ -363,14 +368,15 @@ class PainnConv(nn.Module):
                 (F, F * 3), activation="silu", name="edge_filter"
             )(ea.astype(inv.dtype))
         scal = MLP((F, F * 3), activation="silu", name="scalar_message_mlp")(inv)
-        fo = filt * scal[graph.receivers]
+        fo = filt * gather_nodes(graph, scal, "receivers")
         gate_v, gate_e, msg_s = jnp.split(fo, 3, axis=-1)
         msg_v = equiv[graph.receivers] * gate_v[:, None, :]
         msg_v = msg_v + gate_e[:, None, :] * (diff / d)[:, :, None]
         s = inv + aggregate(graph, msg_s, "sum", "senders")
-        v = equiv + segment_sum(
-            msg_v, graph.senders, graph.n_node, mask=graph.edge_mask
+        mv = aggregate(
+            graph, msg_v.reshape(msg_v.shape[0], -1), "sum", "senders"
         )
+        v = equiv + mv.reshape(equiv.shape)
 
         # ---- update ----
         Uv = nn.Dense(F, name="update_U")(v)

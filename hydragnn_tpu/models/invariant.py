@@ -213,12 +213,12 @@ class PNAConv(nn.Module):
         )
         mean1, mean2 = jnp.split(m12, 2, axis=-1)
         std = jnp.sqrt(jax.nn.relu(mean2 - mean1 * mean1) + 1e-5)
+        from hydragnn_tpu.ops.aggregate import segment_extreme
+
         aggs = [
             mean1,
-            segment_min(h, graph.receivers, N, mask=graph.edge_mask,
-                        indices_are_sorted=srt),
-            segment_max(h, graph.receivers, N, mask=graph.edge_mask,
-                        indices_are_sorted=srt),
+            segment_extreme(graph, h, "min"),
+            segment_extreme(graph, h, "max"),
             std,
         ]
         out = jnp.concatenate(aggs, axis=-1)  # [N, 4*in]

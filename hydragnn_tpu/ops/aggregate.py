@@ -159,6 +159,65 @@ def gather_nodes(graph: GraphBatch, x: jnp.ndarray, at: str = "senders"):
     )
 
 
+def segment_extreme(graph: GraphBatch, data: jnp.ndarray, op: str = "max"):
+    """Masked segment max/min at receivers with a scatter-free backward:
+    cotangents flow to extremal edges (split evenly among ties), computed
+    with compares + the Pallas sum — no scatter in the VJP."""
+    assert op in ("max", "min")
+    from hydragnn_tpu.ops.segment import segment_max, segment_min
+
+    fn = segment_max if op == "max" else segment_min
+
+    use_pallas = (
+        graph.agg_meta is not None
+        and data.ndim == 2
+        and data.shape[-1] % 128 == 0
+        and jnp.issubdtype(data.dtype, jnp.floating)
+        and jax.default_backend() == "tpu"
+    )
+    if not use_pallas:
+        return fn(
+            data,
+            graph.receivers,
+            graph.n_node,
+            mask=graph.edge_mask,
+            indices_are_sorted=graph.edges_sorted,
+        )
+
+    @jax.custom_vjp
+    def _ext(d):
+        return fn(
+            d, graph.receivers, graph.n_node, mask=graph.edge_mask,
+            indices_are_sorted=graph.edges_sorted,
+        )
+
+    def _fwd(d):
+        out = _ext(d)
+        return out, (d, out)
+
+    def _bwd(res, g):
+        d, out = res
+        sel = (d == out[graph.receivers]) & graph.edge_mask[:, None]
+        self_f = sel.astype(d.dtype)
+        ties = _pallas_segsum(
+            self_f,
+            graph.agg_rcv_off,
+            graph.agg_rcv_nb,
+            graph.agg_rcv_sid,
+            graph.receivers,
+            graph.edge_mask,
+            graph.n_node,
+            graph.agg_meta,
+        )
+        gd = jnp.where(
+            sel, g[graph.receivers] / jnp.maximum(ties, 1.0)[graph.receivers], 0.0
+        )
+        return (gd,)
+
+    _ext.defvjp(_fwd, _bwd)
+    return _ext(data)
+
+
 def aggregate(
     graph: GraphBatch,
     data: jnp.ndarray,  # [E, F] edge values

@@ -138,8 +138,10 @@ def segment_sum_pallas_raw(
     E, F = data.shape
     TN, TE, MB = meta
     n_tiles = (n_node + TN - 1) // TN
-    TF = min(tile_features, F)
-    assert F % TF == 0, f"F={F} must divide TF={TF}"
+    TF = max(
+        (t for t in (tile_features, 256, 128) if F % t == 0), default=None
+    )
+    assert TF is not None, f"F={F} must be a multiple of 128"
     assert n_node % TN == 0, f"n_node={n_node} % TN={TN}"
     # TE rows of slack so unaligned [off, off+TE) windows stay in bounds
     data = jnp.concatenate([data, jnp.zeros((TE,) + data.shape[1:], data.dtype)])
