@@ -129,6 +129,8 @@ def _build_datasets(config: Dict):
 
 
 def _make_loaders(config: Dict, train, val, test):
+    import jax
+
     from hydragnn_tpu.data.batching import compute_triplet_dim
 
     bs = int(config["NeuralNetwork"]["Training"]["batch_size"])
@@ -137,10 +139,15 @@ def _make_loaders(config: Dict, train, val, test):
     n_trip = (
         compute_triplet_dim(everything, bs) if train[0].trip_kj is not None else None
     )
+    # scatter-free Pallas aggregation path (ops/pallas_segment.py): worth
+    # the plan-building host cost when features are lane-aligned on TPU
+    hidden = int(config["NeuralNetwork"]["Architecture"].get("hidden_dim", 0) or 0)
+    use_pallas = jax.default_backend() == "tpu" and hidden % 128 == 0
+    kw = dict(dims=dims, n_triplet=n_trip, use_pallas_agg=use_pallas)
     return (
-        PaddedBatcher(train, bs, shuffle=True, seed=1, dims=dims, n_triplet=n_trip),
-        PaddedBatcher(val, bs, dims=dims, n_triplet=n_trip),
-        PaddedBatcher(test, bs, dims=dims, n_triplet=n_trip),
+        PaddedBatcher(train, bs, shuffle=True, seed=1, **kw),
+        PaddedBatcher(val, bs, **kw),
+        PaddedBatcher(test, bs, **kw),
     )
 
 

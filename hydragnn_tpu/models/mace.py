@@ -164,8 +164,15 @@ class MACELayer(nn.Module):
             self.node_irreps_in, ((n_scalar, 0),), name="linear_down"
         )(feats)[0][:, :, 0]  # [N, n_scalar]
 
+        from hydragnn_tpu.ops.aggregate import aggregate, gather_nodes
+
         aug = jnp.concatenate(
-            [edge_feats, down[graph.senders], down[graph.receivers]], axis=-1
+            [
+                edge_feats,
+                gather_nodes(graph, down, "senders"),
+                gather_nodes(graph, down, "receivers"),
+            ],
+            axis=-1,
         )
         tp = WeightedTPConv(
             irreps_in=self.node_irreps_in,
@@ -182,15 +189,20 @@ class MACELayer(nn.Module):
                 w = jax.nn.silu(w)
         weights = w.reshape(-1, n_paths, mul)
 
-        gathered = {l: up[l][graph.senders] for l in up}
-        mji = tp(gathered, edge_sh, weights)
-        message: IrrepsArray = {}
-        for l, arr in mji.items():
-            flat = arr.reshape(arr.shape[0], -1)
-            from hydragnn_tpu.ops.aggregate import aggregate
+        # gather all l-channels in one lane-aligned flat pass
+        up_irreps = tuple((up[l].shape[1], l) for l in sorted(up))
+        from hydragnn_tpu.equivariant.core import flatten_irreps, unflatten_irreps
 
-            agg = aggregate(graph, flat, "sum", "receivers")
-            message[l] = agg.reshape(graph.n_node, arr.shape[1], arr.shape[2])
+        up_flat = flatten_irreps({l: up[l] for l in sorted(up)}, up_irreps)
+        gathered = unflatten_irreps(
+            gather_nodes(graph, up_flat, "senders"), up_irreps
+        )
+        mji = tp(gathered, edge_sh, weights)
+        # aggregate all output l-channels in one flat pass
+        mji_irreps = tuple((mji[l].shape[1], l) for l in sorted(mji))
+        mji_flat = flatten_irreps({l: mji[l] for l in sorted(mji)}, mji_irreps)
+        agg_flat = aggregate(graph, mji_flat, "sum", "receivers")
+        message: IrrepsArray = unflatten_irreps(agg_flat, mji_irreps)
         mid_irreps = tuple((mul, l) for l in sorted(message))
         message = LinearIrreps(mid_irreps, self.hidden_irreps, name="linear_mid")(
             message
