@@ -91,6 +91,11 @@ def _build_datasets(config: Dict):
             config.setdefault("_derived", {})["minmax"] = minmax
         select_variables(samples, var_cfg, node_dims, graph_dims)
 
+    if ds_cfg.get("rotational_invariance", False):
+        from hydragnn_tpu.data.pipeline import normalize_rotation
+
+        normalize_rotation(samples)
+
     radius = float(arch.get("radius", 5.0))
     max_nb = arch.get("max_neighbours", 100)
     pbc = bool(arch.get("periodic_boundary_conditions", False))

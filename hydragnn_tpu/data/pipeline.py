@@ -145,6 +145,23 @@ def compute_lap_pe(samples: Sequence[GraphSample], k: int) -> None:
         s.rel_pe = np.abs(pe[src] - pe[dst]).astype(np.float32)
 
 
+def normalize_rotation(samples: Sequence[GraphSample]) -> None:
+    """PyG ``NormalizeRotation(max_points=-1, sort=False)`` analogue
+    (reference ``abstractrawdataset.py:330-333``, config flag
+    ``Dataset.rotational_invariance``): rotate each sample onto the
+    principal axes of its centered positions (and rotate forces with it)."""
+    for s in samples:
+        pos = np.asarray(s.pos, np.float64)
+        c = pos - pos.mean(0, keepdims=True)
+        _, _, vt = np.linalg.svd(c, full_matrices=False)
+        R = vt.T  # columns = principal directions
+        if np.linalg.det(R) < 0:
+            R[:, -1] *= -1
+        s.pos = (c @ R).astype(np.float32)
+        if s.forces is not None:
+            s.forces = (np.asarray(s.forces, np.float64) @ R).astype(np.float32)
+
+
 def sort_edges_by_receiver(samples: Sequence[GraphSample]) -> None:
     """In-place per-sample edge sort by receiver.  Because batched node ids
     are consecutive per graph, this makes the collated batch's receivers

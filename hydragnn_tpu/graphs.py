@@ -138,20 +138,6 @@ class GraphBatch:
         return vec
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
-def pad_graph_batch(
-    batch: Dict[str, np.ndarray],
-    n_node: int,
-    n_edge: int,
-    n_graph: int,
-) -> Dict[str, np.ndarray]:
-    """Pad a host-side dense batch dict (see data.batching) to static sizes."""
-    raise NotImplementedError("use hydragnn_tpu.data.batching.collate")
-
-
 def graph_segment_mean(
     values: jnp.ndarray, graph: "GraphBatch", node_values_masked: bool = False
 ) -> jnp.ndarray:

@@ -275,11 +275,17 @@ class GATv2Conv(nn.Module):
     def __call__(self, graph: GraphBatch, inv, equiv, ctx, train: bool = False):
         H, F = self.heads, self.out_dim
         N = graph.n_node
-        x_l = nn.Dense(H * F, name="lin_l")(inv).reshape(N, H, F)  # source proj
-        x_r = nn.Dense(H * F, name="lin_r")(inv).reshape(N, H, F)  # target proj
+        x_l_flat = nn.Dense(H * F, name="lin_l")(inv)  # source proj
+        x_r_flat = nn.Dense(H * F, name="lin_r")(inv)  # target proj
+        x_l = x_l_flat.reshape(N, H, F)
+        x_r = x_r_flat.reshape(N, H, F)
         att = self.param("att", nn.initializers.lecun_normal(), (1, H, F))
 
-        pre = x_l[graph.senders] + x_r[graph.receivers]  # [E, H, F]
+        # lane-aligned flat gathers (scatter-free backward via gather_nodes)
+        pre = (
+            gather_nodes(graph, x_l_flat, "senders")
+            + gather_nodes(graph, x_r_flat, "receivers")
+        ).reshape(-1, H, F)  # [E, H, F]
         ea = ctx.get("edge_attr")
         use_edge = self.edge_dim is not None and self.edge_dim > 0 and ea is not None
         if use_edge:
@@ -327,10 +333,14 @@ class GATv2Conv(nn.Module):
         ) + exp_s  # [N, H]
         denom = jnp.maximum(denom, 1e-16)
 
-        num = segment_sum(
-            exp_e[..., None] * x_l[graph.senders], graph.receivers, N,
-            indices_are_sorted=graph.edges_sorted,
-        ) + exp_s[..., None] * x_l  # [N, H, F]
+        xl_e = gather_nodes(graph, x_l_flat, "senders").reshape(-1, H, F)
+        num_flat = aggregate(
+            graph,
+            (exp_e[..., None] * xl_e).reshape(-1, H * F),
+            "sum",
+            "receivers",
+        )
+        num = num_flat.reshape(N, H, F) + exp_s[..., None] * x_l  # [N, H, F]
         out = num / denom[..., None]
 
         bias_dim = H * F if self.concat else F

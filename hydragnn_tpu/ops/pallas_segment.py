@@ -43,7 +43,9 @@ def plan_segment_tiles(
     receiver falls outside the tile, so overlap is harmless."""
     E = receivers.shape[0]
     n_tiles = (n_node + tile_nodes - 1) // tile_nodes
-    rec = np.where(edge_mask, receivers, n_node - 1)
+    # masked (padding) edges sit at the tail of the sorted edge array; map
+    # them beyond every tile so no block budget is spent covering them
+    rec = np.where(edge_mask, receivers.astype(np.int64), 2 * n_node)
     tile_of_edge = rec // tile_nodes
     starts = np.searchsorted(tile_of_edge, np.arange(n_tiles)).astype(np.int64)
     ends = np.searchsorted(tile_of_edge, np.arange(1, n_tiles + 1)).astype(np.int64)

@@ -192,3 +192,31 @@ def test_pbc_isolated_node_gets_artificial_edge():
     cell = (np.eye(3) * 10.0).astype(np.float32)
     ei, sh = radius_graph_pbc(pos, cell, radius=0.5)
     assert ei.shape[1] >= 1  # artificial self edge
+
+
+def test_normalize_rotation_canonicalizes():
+    """NormalizeRotation: a rotated copy of a sample maps to (nearly) the
+    same canonical positions (reference Dataset.rotational_invariance)."""
+    import copy
+
+    from hydragnn_tpu.data.pipeline import normalize_rotation
+
+    samples = lennard_jones_data(2, seed=21)
+    rot = copy.deepcopy(samples)
+    R = _rot(31)
+    for s in rot:
+        s.pos = s.pos @ R.T
+    normalize_rotation(samples)
+    normalize_rotation(rot)
+    for a, b in zip(samples, rot):
+        # principal axes fixed up to sign; compare Gram matrices
+        ga = a.pos @ a.pos.T
+        gb = b.pos @ b.pos.T
+        np.testing.assert_allclose(ga, gb, atol=1e-3)
+        # canonical coordinates agree up to per-axis sign
+        for k in range(3):
+            col_a, col_b = a.pos[:, k], b.pos[:, k]
+            assert (
+                np.abs(col_a - col_b).max() < 1e-3
+                or np.abs(col_a + col_b).max() < 1e-3
+            )
