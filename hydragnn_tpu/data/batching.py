@@ -70,14 +70,19 @@ def compute_triplet_dim(
 def _build_agg_plans(senders, receivers, edge_mask, n_node, TN, TE, MB):
     """Pallas aggregation plans (ops/pallas_segment.py) for both edge
     endpoints; returns GraphBatch field dict."""
+    from hydragnn_tpu.native import plan_segment_tiles_native
     from hydragnn_tpu.ops.pallas_segment import plan_segment_tiles
 
-    rp = plan_segment_tiles(receivers, edge_mask, n_node, TN, TE, MB)
+    def _plan(rcv, msk):
+        native = plan_segment_tiles_native(rcv, msk, n_node, TN, TE, MB)
+        if native is not None:
+            return native
+        return plan_segment_tiles(rcv, msk, n_node, TN, TE, MB)
+
+    rp = _plan(receivers, edge_mask)
     key = np.where(edge_mask, senders, n_node - 1).astype(np.int64)
     perm = np.argsort(key, kind="stable").astype(np.int32)
-    sp = plan_segment_tiles(
-        key[perm].astype(np.int32), edge_mask[perm], n_node, TN, TE, MB
-    )
+    sp = _plan(key[perm].astype(np.int32), edge_mask[perm])
     n_tiles = n_node // TN
     rcv_count = np.bincount(
         receivers[edge_mask], minlength=n_node

@@ -27,6 +27,19 @@ def radius_graph_pbc(
     """Returns (edge_index [2, e], edge_shifts [e, 3] Cartesian)."""
     n = pos.shape[0]
     cell = np.asarray(cell, np.float64)
+
+    from hydragnn_tpu.native import radius_graph_pbc_native
+
+    for attempt in range(max_attempts):
+        r = radius * (1.25**attempt)
+        native = radius_graph_pbc_native(pos, cell, r, max_neighbours, pbc)
+        if native is not None:
+            ei, sh = native
+            if ei.shape[1] > 0 or n == 1:
+                return ei.astype(np.int64), sh.astype(np.float32)
+        elif native is None:
+            break  # no native lib: fall through to numpy path
+
     for attempt in range(max_attempts):
         r = radius * (1.25**attempt)
         # number of periodic images needed per (periodic) axis: project onto

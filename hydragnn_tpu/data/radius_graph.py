@@ -33,6 +33,12 @@ def radius_graph(
     n = pos.shape[0]
     if n == 0:
         return np.zeros((2, 0), dtype=np.int64)
+    if not loop:
+        from hydragnn_tpu.native import radius_graph_open_native
+
+        native = radius_graph_open_native(pos, radius, max_neighbours)
+        if native is not None:
+            return native
     diff = pos[None, :, :] - pos[:, None, :]  # [i, j, 3]: r_j - r_i
     dist = np.linalg.norm(diff, axis=-1)  # [i, j]
     within = dist <= radius
