@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -149,11 +149,17 @@ def _make_loaders(config: Dict, train, val, test):
     hidden = int(config["NeuralNetwork"]["Architecture"].get("hidden_dim", 0) or 0)
     use_pallas = jax.default_backend() == "tpu" and hidden % 128 == 0
     kw = dict(dims=dims, n_triplet=n_trip, use_pallas_agg=use_pallas)
-    return (
+    loaders = (
         PaddedBatcher(train, bs, shuffle=True, seed=1, **kw),
         PaddedBatcher(val, bs, **kw),
         PaddedBatcher(test, bs, **kw),
     )
+    workers = int(os.environ.get("HYDRAGNN_TPU_NUM_WORKERS", "1"))
+    if workers > 0:
+        from hydragnn_tpu.data.prefetch import PrefetchLoader
+
+        loaders = tuple(PrefetchLoader(ld, depth=2) for ld in loaders)
+    return loaders
 
 
 def _mlip_weights(arch: Dict) -> Optional[Dict]:

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import copy
 import json
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Sequence
 
 from hydragnn_tpu.data.pipeline import gather_degree_histogram, graph_size_stats
 from hydragnn_tpu.data.sample import GraphSample

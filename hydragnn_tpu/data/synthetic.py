@@ -16,7 +16,7 @@ config's ``column_index`` [0, 6, 7] maps to our indices [0, 2, 3].
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List
 
 import numpy as np
 

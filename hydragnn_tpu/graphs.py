@@ -27,7 +27,7 @@ Design notes (TPU-first, not a port):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

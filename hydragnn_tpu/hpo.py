@@ -15,7 +15,7 @@ import json
 import math
 import os
 import random
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
 
 def sample_config(space: Dict[str, Any], rng: random.Random) -> Dict[str, Any]:

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from hydragnn_tpu.graphs import GraphBatch
-from hydragnn_tpu.models.base import MLP, MaskedBatchNorm
+from hydragnn_tpu.models.base import MaskedBatchNorm
 
 
 def _mha(x, attn_mask, channels: int, heads: int):

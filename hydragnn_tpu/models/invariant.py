@@ -17,13 +17,7 @@ from flax import linen as nn
 
 from hydragnn_tpu.graphs import GraphBatch
 from hydragnn_tpu.models.base import MLP, ConvStack
-from hydragnn_tpu.ops import (
-    segment_max,
-    segment_mean,
-    segment_min,
-    segment_std,
-    segment_sum,
-)
+from hydragnn_tpu.ops import segment_max, segment_mean, segment_sum
 from hydragnn_tpu.ops.aggregate import aggregate, gather_nodes
 from hydragnn_tpu.ops.segment import segment_count
 

@@ -21,7 +21,7 @@ Capability re-derivation of the reference MACE stack
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +41,6 @@ from hydragnn_tpu.graphs import GraphBatch
 from hydragnn_tpu.models.base import (
     MLP,
     ConvStack,
-    MLPNode,
     StackConfig,
     _select_branch,
     activation_function_selection,
@@ -248,8 +247,6 @@ class MACEMultiheadDecoder(nn.Module):
         )
 
         # pooled graph embedding
-        from hydragnn_tpu.models.base import ConvStack as _CS
-
         mode = cfg.graph_pooling.lower()
         m = graph.node_mask
         if mode in ("add", "sum"):

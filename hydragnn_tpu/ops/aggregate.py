@@ -15,7 +15,6 @@ precomputed sender-sort permutation so it hits the same sorted kernel.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

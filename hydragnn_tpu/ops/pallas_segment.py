@@ -21,7 +21,6 @@ Design:
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

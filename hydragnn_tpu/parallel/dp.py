@@ -13,7 +13,7 @@ reference's SyncBatchNorm conversion (``distributed.py:416``).
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -18,8 +18,6 @@ receiver block) mostly coincide, minimizing cross-shard traffic.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -11,10 +11,8 @@ orbax natively (replacing FSDP full-state-dict consolidation, :119-158).
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from hydragnn_tpu.train.loop import TrainState

@@ -13,7 +13,6 @@ executable is compiled once per (model, padding) pair.
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Any, Dict, List, Optional, Tuple
 
