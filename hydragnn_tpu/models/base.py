@@ -232,13 +232,22 @@ class MLP(nn.Module):
     features: Sequence[int]
     activation: str = "relu"
     final_activation: bool = False
+    final_bias_init: Optional[float] = None  # UQ initial_bias (Base.py:501-506)
 
     @nn.compact
     def __call__(self, x):
         act = activation_function_selection(self.activation)
         for i, f in enumerate(self.features):
-            x = nn.Dense(f, name=f"dense_{i}")(x)
-            if i < len(self.features) - 1 or self.final_activation:
+            last = i == len(self.features) - 1
+            if last and self.final_bias_init is not None:
+                x = nn.Dense(
+                    f,
+                    name=f"dense_{i}",
+                    bias_init=nn.initializers.constant(self.final_bias_init),
+                )(x)
+            else:
+                x = nn.Dense(f, name=f"dense_{i}")(x)
+            if not last or self.final_activation:
                 x = act(x)
         return x
 
@@ -530,6 +539,12 @@ class ConvStack(nn.Module):
                 )
             inv = act(inv)
 
+        if cfg.freeze_conv:
+            # reference _freeze_conv (Base.py:495-499): conv/BN params get no
+            # gradient; heads keep training on frozen features
+            inv = jax.lax.stop_gradient(inv)
+            equiv = jax.tree.map(jax.lax.stop_gradient, equiv)
+
         x = inv
 
         # ---- pooling (Base.py:733-738) ----
@@ -577,6 +592,7 @@ class ConvStack(nn.Module):
                     out = MLP(
                         feats,
                         activation=cfg.activation,
+                        final_bias_init=cfg.initial_bias,
                         name=f"head_{ihead}_{bname}",
                     )(shared_out[bname])
                     per_branch.append(out)
