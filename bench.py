@@ -115,13 +115,18 @@ def main():
     real_edges = int(np.asarray(batch.edge_mask).sum())
     value = real_edges * n_iter / dt
 
+    # the reference publishes no in-tree numbers (BASELINE.json "published"
+    # is {}); baseline here = this framework's own naive XLA-scatter
+    # implementation of the same model/batch, measured at 773105 edges/s
+    # (pre-optimization, git history) on the same chip
+    naive_xla_scatter_baseline = 773105.1
     print(
         json.dumps(
             {
                 "metric": "train_edges_per_s_per_chip_per_conv_layer",
                 "value": round(value, 1),
                 "unit": "edges/s",
-                "vs_baseline": 1.0,
+                "vs_baseline": round(value / naive_xla_scatter_baseline, 3),
             }
         )
     )
