@@ -207,8 +207,9 @@ class PNAPlusConv(nn.Module):
             deg = segment_count(graph.receivers, N, mask=graph.edge_mask,
                                 dtype=inv.dtype, indices_are_sorted=srt)
         logd = jnp.log(deg + 1.0)
+        logd_c = jnp.log(jnp.maximum(deg, 1.0) + 1.0)
         amp = (logd / self.avg_deg_log)[:, None]
-        att = (self.avg_deg_log / jnp.maximum(logd, 1e-12))[:, None]
+        att = (self.avg_deg_log / logd_c)[:, None]
         lin = (deg / max(self.avg_deg_lin, 1e-12))[:, None]
         scaled = jnp.concatenate([out, out * amp, out * att, out * lin], axis=-1)
         z = jnp.concatenate([inv, scaled], axis=-1)
@@ -512,9 +513,12 @@ class PNAEqConv(nn.Module):
         ]
         agg = jnp.concatenate(aggs, axis=-1)
         deg = segment_count(graph.senders, N, mask=graph.edge_mask, dtype=inv.dtype)
+        # PyG clamps deg to >= 1 for the inverse scalers; this also keeps
+        # padding rows (deg 0) finite so masked-out cotangents stay NaN-free
         logd = jnp.log(deg + 1.0)
+        logd_c = jnp.log(jnp.maximum(deg, 1.0) + 1.0)
         amp = (logd / self.avg_deg_log)[:, None]
-        att = (self.avg_deg_log / jnp.maximum(logd, 1e-12))[:, None]
+        att = (self.avg_deg_log / logd_c)[:, None]
         linear = (deg / max(self.avg_deg_lin, 1e-12))[:, None]
         inv_linear = (self.avg_deg_lin / jnp.maximum(deg, 1.0))[:, None]
         scaled = jnp.concatenate(

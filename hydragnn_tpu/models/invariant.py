@@ -224,9 +224,12 @@ class PNAConv(nn.Module):
                 graph.receivers, N, mask=graph.edge_mask, dtype=inv.dtype,
                 indices_are_sorted=srt,
             )
+        # PyG clamps deg to >= 1 for the inverse scalers; this also keeps
+        # padding rows (deg 0) finite so masked-out cotangents stay NaN-free
         logd = jnp.log(deg + 1.0)
+        logd_c = jnp.log(jnp.maximum(deg, 1.0) + 1.0)
         amp = (logd / self.avg_deg_log)[:, None]
-        att = (self.avg_deg_log / jnp.maximum(logd, 1e-12))[:, None]
+        att = (self.avg_deg_log / logd_c)[:, None]
         linear = (deg / max(self.avg_deg_lin, 1e-12))[:, None]
         scaled = jnp.concatenate([out, out * amp, out * att, out * linear], axis=-1)
 

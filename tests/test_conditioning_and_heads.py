@@ -125,3 +125,19 @@ def test_gaussian_nll_var_output():
     samples = _samples()
     cfg = _cfg(loss_function_type="GaussianNLLLoss", var_output=True)
     _run_steps(create_model("GIN", cfg), samples)
+
+
+def test_pnaeq_conv_head_stays_finite():
+    """Regression: degree-scaler attenuation must be clamped (PyG deg>=1)
+    or padding rows (deg 0) produce Inf whose masked cotangent NaNs the
+    BatchNorm-scale gradient."""
+    samples = _samples()
+    cfg = dataclasses.replace(
+        _cfg(
+            node_branches=normalize_branches(
+                {"num_headlayers": 2, "dim_headlayers": [8, 8], "type": "conv"}
+            )
+        ),
+        pna_deg=(0, 0, 1, 2, 5, 5, 5, 2),
+    )
+    _run_steps(create_model("PNAEq", cfg), samples, n=6)
