@@ -197,6 +197,7 @@ def run_training(config_or_path, use_deepspeed: bool = False):
         config["NeuralNetwork"]["Training"]["Optimizer"],
         seed=0,
         mlip=_mlip_weights(config["NeuralNetwork"]["Architecture"]),
+        precision=precision,
     )
     state = trainer.init_state(next(iter(train_loader)))
 
@@ -250,6 +251,13 @@ def run_prediction(config_or_path, use_deepspeed: bool = False):
     """Evaluate the saved model on the test split; returns
     (error, tasks_error, true_values, predicted_values)."""
     config = load_config(config_or_path)
+
+    from hydragnn_tpu.train.precision import resolve_precision
+
+    precision, _, _ = resolve_precision(
+        config["NeuralNetwork"]["Training"].get("precision", "fp32")
+    )
+
     train, val, test = _build_datasets(config)
     config = update_config(config, train, val, test)
     _, _, test_loader = _make_loaders(config, train, val, test)
@@ -260,6 +268,7 @@ def run_prediction(config_or_path, use_deepspeed: bool = False):
         config["NeuralNetwork"]["Training"]["Optimizer"],
         seed=0,
         mlip=_mlip_weights(config["NeuralNetwork"]["Architecture"]),
+        precision=precision,
     )
     state = trainer.init_state(next(iter(test_loader)))
 

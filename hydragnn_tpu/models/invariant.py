@@ -319,26 +319,29 @@ class GATv2Conv(nn.Module):
             0.0,
         )
         exp_s = jnp.exp(self_logits - m)
-        if train and self.dropout > 0.0:
-            key = self.make_rng("dropout")
-            k1, k2 = jax.random.split(key)
-            keep = 1.0 - self.dropout
-            exp_e = exp_e * jax.random.bernoulli(k1, keep, exp_e.shape) / keep
-            exp_s = exp_s * jax.random.bernoulli(k2, keep, exp_s.shape) / keep
         denom = segment_sum(
             exp_e, graph.receivers, N, indices_are_sorted=graph.edges_sorted
         ) + exp_s  # [N, H]
         denom = jnp.maximum(denom, 1e-16)
+        # normalized attention first, dropout after (PyG GATv2 semantics:
+        # alphas are dropped WITHOUT renormalizing the softmax)
+        alpha_e = exp_e / denom[graph.receivers]
+        alpha_s = exp_s / denom
+        if train and self.dropout > 0.0:
+            key = self.make_rng("dropout")
+            k1, k2 = jax.random.split(key)
+            keep = 1.0 - self.dropout
+            alpha_e = alpha_e * jax.random.bernoulli(k1, keep, alpha_e.shape) / keep
+            alpha_s = alpha_s * jax.random.bernoulli(k2, keep, alpha_s.shape) / keep
 
         xl_e = gather_nodes(graph, x_l_flat, "senders").reshape(-1, H, F)
         num_flat = aggregate(
             graph,
-            (exp_e[..., None] * xl_e).reshape(-1, H * F),
+            (alpha_e[..., None] * xl_e).reshape(-1, H * F),
             "sum",
             "receivers",
         )
-        num = num_flat.reshape(N, H, F) + exp_s[..., None] * x_l  # [N, H, F]
-        out = num / denom[..., None]
+        out = num_flat.reshape(N, H, F) + alpha_s[..., None] * x_l  # [N, H, F]
 
         bias_dim = H * F if self.concat else F
         bias = self.param("bias", nn.initializers.zeros, (bias_dim,))

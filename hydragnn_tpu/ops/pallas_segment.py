@@ -187,9 +187,10 @@ def segment_sum_pallas_raw(
                 x = xs[b % 2]
                 if x.dtype == jnp.bfloat16:
                     return acc + dot(onehot, x.astype(jnp.float32))
-                # exact fp32 sum in 2 bf16 MXU passes: one-hot entries are
-                # exact in bf16, so splitting the data into bf16 hi + lo
-                # halves reconstructs the fp32 sum (vs 6 passes at HIGHEST)
+                # near-fp32 sum in 2 bf16 MXU passes: one-hot entries are
+                # exact in bf16; splitting the data into bf16 hi + lo halves
+                # recovers ~2x the bf16 mantissa (~2^-18 relative error --
+                # lo is itself rounded to bf16; HIGHEST would need 6 passes)
                 xf = x.astype(jnp.float32)
                 hi = xf.astype(jnp.bfloat16).astype(jnp.float32)
                 lo = xf - hi

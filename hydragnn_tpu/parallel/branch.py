@@ -8,13 +8,15 @@ trained only by its branch's data.
 Design note (why this is simpler than the reference): branch routing
 already lives inside the model (`_select_branch` masks decoder outputs by
 ``dataset_id``), so a decoder's gradients from foreign-branch rows are
-exactly zero.  A single ``psum`` over both mesh axes therefore yields the
-same update as the reference's two-level process groups (encoder allreduce
-over WORLD + decoder allreduce over the branch group,
-``MultiTaskModelMP.py:404-484``) -- no process-group plumbing, no
-DualOptimizer.  Each (branch b, data d) device feeds batches drawn from
-branch b's dataset (per-branch loaders, the ``examples/multibranch``
-pattern).
+exactly zero.  Encoder gradients are averaged over the whole mesh (the
+reference's WORLD allreduce); branch-b decoder gradients are nonzero on
+only the D devices of row b, so after the global ``pmean`` (divide by
+B*D) they are rescaled by B, which equals the reference's average over
+the D-member head process group only (``MultiTaskModelMP.py:404-484``).
+Decoder param subtrees are identified by name (``head_*`` /
+``graph_shared_*``, models/base.py).  Each (branch b, data d) device
+feeds batches drawn from branch b's dataset (per-branch loaders, the
+``examples/multibranch`` pattern).
 """
 
 from __future__ import annotations
@@ -48,8 +50,35 @@ def shard_branch_batch(stacked: GraphBatch, mesh: Mesh) -> GraphBatch:
     return jax.tree.map(lambda x: jax.device_put(x, spec), stacked)
 
 
+def is_decoder_param(name: str) -> bool:
+    """Top-level param-tree keys of per-branch decoder modules
+    (models/base.py naming: ``graph_shared_{branch}``, ``head_{i}_{branch}``
+    and node-conv-head children ``head_{i}_{branch}_conv_*/_norm_*``)."""
+    return name.startswith("head_") or name.startswith("graph_shared_")
+
+
+def rescale_decoder_grads(grads, n_branch: int):
+    """Convert a whole-mesh pmean into per-group means: decoder grads are
+    nonzero on only 1/n_branch of the devices, so multiply them back by
+    n_branch (reference decoder allreduce spans the head group only,
+    ``MultiTaskModelMP.py:404-484``)."""
+    if n_branch <= 1:
+        return grads
+    from jax.tree_util import tree_map_with_path
+
+    def f(path, g):
+        name = getattr(path[0], "key", None)
+        if isinstance(name, str) and is_decoder_param(name):
+            return g * n_branch
+        return g
+
+    return tree_map_with_path(f, grads)
+
+
 def make_branch_dp_train_step(model, tx, mesh: Mesh):
     from jax.experimental.shard_map import shard_map
+
+    n_branch = mesh.shape["branch"]
 
     def per_device(state: TrainState, batch: GraphBatch):
         batch = jax.tree.map(lambda x: x[0, 0], batch)
@@ -72,9 +101,11 @@ def make_branch_dp_train_step(model, tx, mesh: Mesh):
             state.params
         )
         # encoder grads: mean over every device; decoder grads of branch b
-        # receive zero contributions from other branches' rows, so the same
-        # global reduction implements per-branch decoder training
+        # receive zero contributions from other branches' rows -- after the
+        # global mean, rescale them by B so the effective reduction is a
+        # mean over branch b's D devices only (reference head-group allreduce)
         grads = jax.lax.pmean(jax.lax.pmean(grads, "data"), "branch")
+        grads = rescale_decoder_grads(grads, n_branch)
         loss = jax.lax.pmean(jax.lax.pmean(loss, "data"), "branch")
         tasks = jax.lax.pmean(
             jax.lax.pmean(jnp.stack(tasks), "data"), "branch"

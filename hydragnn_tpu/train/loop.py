@@ -192,6 +192,8 @@ class Trainer:
             t = np.asarray(tasks)
             tasks_total = t * ng if tasks_total is None else tasks_total + t * ng
             n += ng
+        if tasks_total is None:  # empty loader (e.g. tiny dataset + drop_last)
+            return state, 0.0, np.zeros((1,))
         return state, total / max(n, 1), tasks_total / max(n, 1)
 
     def evaluate(self, state: TrainState, loader) -> Tuple[float, np.ndarray]:

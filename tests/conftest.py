@@ -2,16 +2,24 @@
 paths run on one host (the analogue of the reference CI's
 ``mpirun -n 2 pytest --with-mpi``, CI.yml:60-69).
 
-NOTE: this environment ships an 'axon' TPU plugin that overrides
-``JAX_PLATFORMS``; ``JAX_PLATFORM_NAME`` is the override that works.
+NOTE: this environment ships an 'axon' TPU PJRT plugin registered from a
+sitecustomize for EVERY python process; env vars (`JAX_PLATFORMS`,
+`JAX_PLATFORM_NAME`) do NOT override it any more -- only
+``jax.config.update('jax_platforms', 'cpu')`` before first backend use
+works.
 """
 
 import os
 
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", "axon plugin override failed"

@@ -109,3 +109,99 @@ def test_driver_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(min(8, len(jax.devices())))
+
+
+def test_branch_decoder_grad_scaling_matches_per_group_mean():
+    """Branch-parallel update == reference semantics: encoder grads averaged
+    over ALL devices, branch-b decoder grads averaged over branch b's data
+    group ONLY (MultiTaskModelMP.py:404-484). Uses SGD so any scaling error
+    shows up directly in the update."""
+    from hydragnn_tpu.data.batching import PaddedBatcher, compute_batch_dims
+    from hydragnn_tpu.data.pipeline import normalize_minmax, select_variables
+    from hydragnn_tpu.data.radius_graph import radius_graph
+    from hydragnn_tpu.data.synthetic import deterministic_graph_data
+    from hydragnn_tpu.models.base import StackConfig, normalize_branches
+    from hydragnn_tpu.models.create import create_model
+    from hydragnn_tpu.parallel.branch import (
+        is_decoder_param,
+        make_branch_dp_train_step,
+        make_branch_mesh,
+        shard_branch_batch,
+        stack_branch_batches,
+    )
+    from hydragnn_tpu.train.loop import Trainer
+
+    B, D, bs = 2, 4, 4
+    samples = deterministic_graph_data(B * D * bs, seed=3)
+    var = {"input_node_features": [0], "output_index": [0], "type": ["graph"]}
+    normalize_minmax(samples, [1, 1, 1], [1])
+    select_variables(samples, var, [1, 1, 1], [1])
+    for i, s in enumerate(samples):
+        s.edge_index = radius_graph(s.pos, 2.0, 100)
+        s.dataset_id = i % B
+    head = {"num_sharedlayers": 1, "dim_sharedlayers": 8,
+            "num_headlayers": 1, "dim_headlayers": [8]}
+    cfg = StackConfig(
+        input_dim=1, hidden_dim=16, output_dim=(1,), output_type=("graph",),
+        graph_branches=normalize_branches(
+            [{"type": "branch-a", "architecture": head},
+             {"type": "branch-b", "architecture": head}]
+        ),
+        task_weights=(1.0,), num_conv_layers=2,
+    )
+    model = create_model("GIN", cfg)
+    trainer = Trainer(model, {"type": "SGD", "learning_rate": 1e-2})
+
+    dims = compute_batch_dims(samples, bs)
+    per_branch = []
+    for b in range(B):
+        pool = [s for s in samples if s.dataset_id == b]
+        per_branch.append(list(PaddedBatcher(pool, bs, dims=dims))[:D])
+    flat = [bb for row in per_branch for bb in row]
+    state = trainer.init_state(flat[0])
+
+    mesh = make_branch_mesh(B, D)
+    step = make_branch_dp_train_step(model, trainer.tx, mesh)
+    stacked = shard_branch_batch(stack_branch_batches(per_branch), mesh)
+    new_state, loss, _ = step(state, stacked)
+
+    # single-device simulation of the reference's two process groups
+    def grads_of(batch):
+        def loss_fn(params):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, train=True, mutable=["batch_stats"],
+            )
+            tot, _ = model.loss(out, batch)
+            return tot
+        return jax.grad(loss_fn)(state.params)
+
+    gs = [[grads_of(per_branch[b][d]) for d in range(D)] for b in range(B)]
+    import jax.numpy as jnp
+
+    def mean_trees(trees):
+        return jax.tree.map(lambda *xs: sum(xs) / len(xs), *trees)
+
+    g_world = mean_trees([g for row in gs for g in row])
+    g_branch = [mean_trees(row) for row in gs]
+
+    ref_grads = {}
+    for k in g_world:
+        if is_decoder_param(k):
+            # decoder modules belong to exactly one branch; foreign-branch
+            # group means are zero, so summing the per-group means recovers
+            # the owning group's mean
+            ref_grads[k] = jax.tree.map(lambda *xs: sum(xs), *[g[k] for g in g_branch])
+        else:
+            ref_grads[k] = g_world[k]
+    updates, _ = trainer.tx.update(ref_grads, state.opt_state, state.params)
+    ref_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+
+    # tolerance: catches any 1/B (=2x) decoder mis-scaling while allowing
+    # reduction-order noise on near-zero first-step biases
+    jax.tree.map(
+        lambda a, c: np.testing.assert_allclose(
+            np.asarray(c), np.asarray(a), rtol=5e-3, atol=1e-6
+        ),
+        ref_params, new_state.params,
+    )
