@@ -79,10 +79,70 @@ def _build_datasets(config: Dict):
             number_configurations=int(ds_cfg.get("num_samples", 200)),
             periodic=bool(arch.get("periodic_boundary_conditions", False)),
         )
+    elif fmt == "qm9":
+        from hydragnn_tpu.data.qm9 import (
+            load_qm9_directory,
+            synthesize_qm9_directory,
+        )
+
+        root = ds_cfg.get("path", {}).get("total", "dataset/qm9/raw")
+        limit = ds_cfg.get("num_samples")
+        if not os.path.isdir(root) or not os.listdir(root):
+            print(
+                f"[qm9] raw directory {root!r} not found -- synthesizing a "
+                "surrogate corpus in the dsgdb9nsd format (no network egress)"
+            )
+            synthesize_qm9_directory(root, int(limit or 1000), seed=0)
+        samples = load_qm9_directory(root, limit=int(limit) if limit else None)
+        normalize = bool(ds_cfg.get("normalize_features", False))
+    elif fmt == "md17":
+        from hydragnn_tpu.data.md17 import load_md17_npz, synthesize_md17_npz
+
+        path = ds_cfg.get("path", {}).get("total", "dataset/md17/md17_uracil.npz")
+        limit = ds_cfg.get("num_samples")
+        if not os.path.exists(path):
+            print(
+                f"[md17] npz {path!r} not found -- synthesizing a surrogate "
+                "trajectory in the MD17 npz schema (no network egress)"
+            )
+            synthesize_md17_npz(path, n_frames=int(limit or 1000), seed=0)
+        samples = load_md17_npz(
+            path,
+            limit=int(limit) if limit else None,
+            stride=int(ds_cfg.get("stride", 1)),
+        )
+        normalize = bool(ds_cfg.get("normalize_features", False))
+    elif fmt == "extxyz":
+        from hydragnn_tpu.data.xyz import load_xyz_directory
+
+        samples = load_xyz_directory(ds_cfg["path"]["total"])
+        normalize = bool(ds_cfg.get("normalize_features", False))
     else:
         raise ValueError(f"Unsupported dataset format: {fmt}")
 
+    if ds_cfg.get("graph_attr") is not None:
+        # constant per-sample graph attributes, e.g. [charge, spin] in the
+        # reference qm9/md17 pre-transforms (qm9.py:22-36)
+        ga = np.asarray(ds_cfg["graph_attr"], np.float32)
+        for s in samples:
+            s.graph_attr = ga
+    if ds_cfg.get("per_atom_targets", False):
+        # reference per-atom scaling at pre-transform (qm9.py:33 / md17.py:27:
+        # ``data.y = data.y[...] / len(data.x)``)
+        for s in samples:
+            if s.y_raw is not None:
+                s.y_raw = np.asarray(s.y_raw, np.float32) / s.num_nodes
+
     mlip = bool(arch.get("enable_interatomic_potential", False))
+    if mlip and ds_cfg.get("energy_linear_regression", False):
+        # per-element atomic-energy baseline subtraction (reference
+        # preprocess/energy_linear_regression.py + the multidataset example)
+        from hydragnn_tpu.data.energy_regression import (
+            fit_linear_energies,
+            subtract_linear_energies,
+        )
+
+        subtract_linear_energies(samples, fit_linear_energies(samples))
     if not mlip:
         node_dims = ds_cfg["node_features"]["dim"]
         graph_dims = ds_cfg["graph_features"]["dim"]
