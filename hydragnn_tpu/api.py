@@ -232,6 +232,35 @@ def _mlip_weights(arch: Dict) -> Optional[Dict]:
     }
 
 
+def _resolve_data_mesh(config: Dict):
+    """Mesh selection for the production training path (the analogue of the
+    reference's automatic DDP/FSDP wrap, ``run_training.py:105`` ->
+    ``distributed.py:396-481``): ``Training.num_devices`` (int or 'auto',
+    env override ``HYDRAGNN_TPU_NUM_DEVICES``).  'auto' uses every local
+    device; returns None for a single device (plain Trainer)."""
+    import jax
+
+    training = config["NeuralNetwork"]["Training"]
+    nd = os.environ.get(
+        "HYDRAGNN_TPU_NUM_DEVICES", training.get("num_devices", "auto")
+    )
+    if isinstance(nd, str) and nd.lower() == "auto":
+        nd = jax.local_device_count()
+    nd = int(nd)
+    avail = jax.local_device_count()
+    if nd > avail:
+        print(
+            f"[run_training] requested num_devices={nd} but only {avail} "
+            f"local devices are visible; clamping to {avail}"
+        )
+        nd = avail
+    if nd <= 1:
+        return None
+    from hydragnn_tpu.parallel.dp import make_mesh
+
+    return make_mesh(nd)
+
+
 def run_training(config_or_path, use_deepspeed: bool = False):
     """Train a model from a JSON config (path or dict).  ``use_deepspeed``
     accepted for reference signature compatibility (no-op: sharding is
@@ -245,20 +274,40 @@ def run_training(config_or_path, use_deepspeed: bool = False):
         config["NeuralNetwork"]["Training"].get("precision", "fp32")
     )
 
+    # multi-host bootstrap (reference setup_ddp, distributed.py:151) -- a
+    # no-op unless a coordinator is configured in the environment
+    from hydragnn_tpu.parallel.runtime import (
+        setup_distributed,
+        shard_samples_for_host,
+    )
+
+    world, rank = setup_distributed()
+
     tracer.start("dataload")
     train, val, test = _build_datasets(config)
     config = update_config(config, train, val, test)
+    if world > 1:
+        # per-process dataset shard (DistributedSampler/DDStore analogue)
+        train = shard_samples_for_host(train)
+        val = shard_samples_for_host(val)
+        test = shard_samples_for_host(test)
     train_loader, val_loader, test_loader = _make_loaders(config, train, val, test)
     tracer.stop("dataload")
 
     model = create_model_config(config["NeuralNetwork"])
-    trainer = Trainer(
-        model,
-        config["NeuralNetwork"]["Training"]["Optimizer"],
-        seed=0,
-        mlip=_mlip_weights(config["NeuralNetwork"]["Architecture"]),
-        precision=precision,
-    )
+    mesh = _resolve_data_mesh(config)
+    opt_cfg = config["NeuralNetwork"]["Training"]["Optimizer"]
+    mlip_w = _mlip_weights(config["NeuralNetwork"]["Architecture"])
+    if mesh is not None:
+        from hydragnn_tpu.parallel.dp import DataParallelTrainer
+
+        trainer = DataParallelTrainer(
+            model, opt_cfg, mesh, seed=0, mlip=mlip_w, precision=precision
+        )
+    else:
+        trainer = Trainer(
+            model, opt_cfg, seed=0, mlip=mlip_w, precision=precision
+        )
     state = trainer.init_state(next(iter(train_loader)))
 
     # resume (reference Training.continue/startfrom, model/model.py:202-209)

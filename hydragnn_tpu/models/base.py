@@ -175,6 +175,9 @@ class StackConfig:
     initial_bias: Optional[float] = None
     conv_checkpointing: bool = False
     var_output: bool = False  # GaussianNLLLoss two-channel output
+    # SyncBatchNorm analogue: mesh axis to psum batch statistics over when
+    # the forward runs inside shard_map (distributed.py:416)
+    bn_sync_axis: Optional[str] = None
 
     @property
     def num_heads(self) -> int:
@@ -258,12 +261,15 @@ class MaskedBatchNorm(nn.Module):
 
     Replaces PyG ``BatchNorm`` in the reference conv loop (``Base.py:454``)
     with padding-aware statistics; under pjit the reductions are global,
-    subsuming SyncBatchNorm.
+    subsuming SyncBatchNorm.  Under ``shard_map`` set ``axis_name`` to sync
+    batch statistics across the mesh axis (the SyncBatchNorm conversion,
+    ``distributed.py:416``) via psum of (count, sum, sum-of-squares).
     """
 
     features: int
     eps: float = 1e-5
     momentum: float = 0.1
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, mask, train: bool):
@@ -278,9 +284,16 @@ class MaskedBatchNorm(nn.Module):
 
         if train:
             m = mask[:, None]
-            cnt = jnp.maximum(jnp.sum(mask.astype(x.dtype)), 1.0)
-            mean = jnp.sum(jnp.where(m, x, 0.0), axis=0) / cnt
-            var = jnp.sum(jnp.where(m, (x - mean) ** 2, 0.0), axis=0) / cnt
+            cnt = jnp.sum(mask.astype(x.dtype))
+            sx = jnp.sum(jnp.where(m, x, 0.0), axis=0)
+            sxx = jnp.sum(jnp.where(m, x * x, 0.0), axis=0)
+            if self.axis_name is not None:
+                cnt = jax.lax.psum(cnt, self.axis_name)
+                sx = jax.lax.psum(sx, self.axis_name)
+                sxx = jax.lax.psum(sxx, self.axis_name)
+            cnt = jnp.maximum(cnt, 1.0)
+            mean = sx / cnt
+            var = jnp.maximum(sxx / cnt - mean * mean, 0.0)
             if not self.is_initializing():
                 unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
                 ra_mean.value = (
@@ -486,6 +499,7 @@ class ConvStack(nn.Module):
                 heads=cfg.global_attn_heads,
                 dropout=cfg.dropout,
                 attn_type=cfg.global_attn_type or "multihead",
+                bn_axis=cfg.bn_sync_axis,
                 name=name,
             )
         return conv
@@ -534,9 +548,9 @@ class ConvStack(nn.Module):
                     name=f"cond_{i}",
                 )(inv, graph)
             if spec.get("norm", True):
-                inv = MaskedBatchNorm(width, name=f"norm_{i}")(
-                    inv, graph.node_mask, train
-                )
+                inv = MaskedBatchNorm(
+                    width, name=f"norm_{i}", axis_name=cfg.bn_sync_axis
+                )(inv, graph.node_mask, train)
             inv = act(inv)
 
         if cfg.freeze_conv:
@@ -657,14 +671,18 @@ class ConvStack(nn.Module):
         for i, d in enumerate(dims):
             conv = self.make_conv(in_dim, d, edge_dim=cfg.edge_dim, name=f"{name}_conv_{i}")
             inv, eq = conv(graph, inv, eq, ctx, train=train)
-            inv = MaskedBatchNorm(d, name=f"{name}_norm_{i}")(inv, graph.node_mask, train)
+            inv = MaskedBatchNorm(
+                d, name=f"{name}_norm_{i}", axis_name=cfg.bn_sync_axis
+            )(inv, graph.node_mask, train)
             inv = act(inv)
             in_dim = d
         conv = self.make_conv(
             in_dim, out_dim, edge_dim=cfg.edge_dim, last_layer=True, name=f"{name}_conv_out"
         )
         inv, eq = conv(graph, inv, eq, ctx, train=train)
-        inv = MaskedBatchNorm(out_dim, name=f"{name}_norm_out")(inv, graph.node_mask, train)
+        inv = MaskedBatchNorm(
+            out_dim, name=f"{name}_norm_out", axis_name=cfg.bn_sync_axis
+        )(inv, graph.node_mask, train)
         return inv
 
     # ------------------------------------------------------------------ loss

@@ -51,6 +51,7 @@ class GPSConv(nn.Module):
     dropout: float = 0.0
     attn_type: str = "multihead"
     per_graph: bool = False
+    bn_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, graph: GraphBatch, inv, equiv, ctx, train: bool = False):
@@ -70,7 +71,9 @@ class GPSConv(nn.Module):
             h, eq = self.conv(graph, inv, equiv, ctx, train=train)
             h = drop(h, "d1")
             h = h + inv
-            h = MaskedBatchNorm(C, name="norm1")(h, graph.node_mask, train)
+            h = MaskedBatchNorm(C, name="norm1", axis_name=self.bn_axis)(
+                h, graph.node_mask, train
+            )
             hs.append(h)
 
         # global self-attention over all real nodes (one sequence == the
@@ -85,7 +88,9 @@ class GPSConv(nn.Module):
         h = _mha(inv, attn_mask, C, self.heads)
         h = drop(h, "d2")
         h = h + inv
-        h = MaskedBatchNorm(C, name="norm2")(h, graph.node_mask, train)
+        h = MaskedBatchNorm(C, name="norm2", axis_name=self.bn_axis)(
+            h, graph.node_mask, train
+        )
         hs.append(h)
 
         out = sum(hs)
@@ -95,5 +100,7 @@ class GPSConv(nn.Module):
         ff = nn.Dense(C, name="mlp_1")(ff)
         ff = drop(ff, "d4")
         out = out + ff
-        out = MaskedBatchNorm(C, name="norm3")(out, graph.node_mask, train)
+        out = MaskedBatchNorm(C, name="norm3", axis_name=self.bn_axis)(
+            out, graph.node_mask, train
+        )
         return out, eq

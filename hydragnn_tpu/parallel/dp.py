@@ -93,3 +93,302 @@ def make_dp_train_step(model, tx, mesh: Mesh):
         check_rep=False,
     )
     return jax.jit(smapped)
+
+
+# ---------------------------------------------------------------------------
+# the production data-parallel trainer used by run_training
+# ---------------------------------------------------------------------------
+
+
+class DataParallelTrainer:
+    """Drop-in for :class:`hydragnn_tpu.train.loop.Trainer` running every
+    train/eval step under ``shard_map`` over a ``data`` mesh axis — the
+    TPU-native analogue of the reference's automatic DDP wrap
+    (``run_training.py:105`` -> ``distributed.py:396-481``).
+
+    Per-graph-count weighting: each device's loss/grads are a mean over its
+    own (masked) graphs, so reductions use psum(x*ng)/psum(ng), which makes
+    an 8-device step with per-device batch B numerically equal to a
+    single-device step with batch 8*B — including ragged/empty tail
+    shards.  BatchNorm batch statistics are ng-weighted the same way
+    (SyncBatchNorm analogue, ``distributed.py:416``).
+
+    ZeRO-1 (``Optimizer.use_zero_redundancy``, reference
+    ``ZeroRedundancyOptimizer`` at ``utils/optimizer/optimizer.py:43-101``):
+    the optimizer state is stored as a FLAT vector sharded over the data
+    axis — each device holds 1/D of every moment buffer, updates only its
+    shard, and the parameter delta is reassembled with one tiled
+    ``all_gather`` over ICI.  Params stay replicated (they are small for
+    GNNs); state memory drops by ~D×.
+    """
+
+    def __init__(
+        self,
+        model,
+        opt_config,
+        mesh: Mesh,
+        seed: int = 0,
+        mlip=None,
+        precision: str = "fp32",
+    ):
+        import dataclasses
+
+        from jax.experimental.shard_map import shard_map
+
+        from hydragnn_tpu.train.loop import Trainer
+
+        # inherit single-device steps (predict/init/evaluate fallbacks)
+        self._single = Trainer(
+            model, opt_config, seed=seed, mlip=mlip, precision=precision
+        )
+        self.model = model
+        # SyncBatchNorm clone for the sharded steps: identical params/stats
+        # tree, BN statistics psum'd over the data axis in-forward
+        sync_model = type(model)(
+            cfg=dataclasses.replace(model.cfg, bn_sync_axis="data")
+        )
+        model = sync_model
+        self.tx = self._single.tx
+        self.seed = seed
+        self.mlip = mlip
+        self.precision = self._single.precision
+        self.mesh = mesh
+        self.n_dev = mesh.shape["data"]
+        self.zero1 = bool(opt_config.get("use_zero_redundancy", False))
+        self._shard_map = shard_map
+        cast_in = self._single._cast_in
+        cast_grads = self._single._cast_grads
+
+        def loss_and_aux(params, batch_stats, batch, rng, train):
+            params_c = cast_in(params)
+            batch = cast_in(batch)
+            if mlip is not None:
+                from hydragnn_tpu.models.mlip import energy_force_loss
+
+                tot, tasks, new_bs, _, _ = energy_force_loss(
+                    model, params_c, batch_stats, batch, mlip,
+                    train=train, rng=rng,
+                )
+                return tot.astype(jnp.float32), (jnp.stack(tasks), new_bs)
+            if train:
+                out, mutated = model.apply(
+                    {"params": params_c, "batch_stats": batch_stats},
+                    batch, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": rng},
+                )
+                new_bs = mutated["batch_stats"]
+            else:
+                out = model.apply(
+                    {"params": params_c, "batch_stats": batch_stats},
+                    batch, train=False,
+                )
+                new_bs = batch_stats
+            tot, tasks = model.loss(out, batch)
+            return tot.astype(jnp.float32), (jnp.stack(tasks), new_bs)
+
+        def train_per_device(state, batch):
+            batch = jax.tree.map(lambda x: x[0], batch)
+            ng = batch.graph_mask.sum().astype(jnp.float32)
+            denom = jnp.maximum(jax.lax.psum(ng, "data"), 1.0)
+            rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), state.step)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+
+            (loss, (tasks, new_bs)), grads = jax.value_and_grad(
+                lambda p: loss_and_aux(p, state.batch_stats, batch, rng, True),
+                has_aux=True,
+            )(state.params)
+            grads = cast_grads(grads)
+            grads = jax.tree.map(
+                lambda g: jax.lax.psum(g * ng, "data") / denom, grads
+            )
+            loss = jax.lax.psum(loss * ng, "data") / denom
+            tasks = jax.lax.psum(tasks * ng, "data") / denom
+            new_bs = jax.tree.map(
+                lambda s: (
+                    jax.lax.psum(
+                        s.astype(jnp.float32) * ng, "data"
+                    ) / denom
+                ).astype(jnp.float32)
+                if jnp.issubdtype(s.dtype, jnp.floating)
+                else jax.lax.pmax(s, "data"),
+                new_bs,
+            )
+            if self.zero1:
+                new_params, new_opt = self._zero1_apply(state, grads)
+            else:
+                updates, new_opt = self.tx.update(
+                    grads, state.opt_state, state.params
+                )
+                new_params = jax.tree.map(
+                    lambda p, u: p + u, state.params, updates
+                )
+            from hydragnn_tpu.train.loop import TrainState
+
+            return (
+                TrainState(
+                    params=new_params, batch_stats=new_bs,
+                    opt_state=new_opt, step=state.step + 1,
+                ),
+                loss, tasks, denom,
+            )
+
+        def eval_per_device(state, batch):
+            batch = jax.tree.map(lambda x: x[0], batch)
+            ng = batch.graph_mask.sum().astype(jnp.float32)
+            denom = jnp.maximum(jax.lax.psum(ng, "data"), 1.0)
+            loss, (tasks, _) = loss_and_aux(
+                state.params, state.batch_stats, batch, None, False,
+            )
+            loss = jax.lax.psum(loss * ng, "data") / denom
+            tasks = jax.lax.psum(tasks * ng, "data") / denom
+            return loss, tasks, denom
+
+        self._train_fn = train_per_device
+        self._eval_fn = eval_per_device
+        self.__dp_train = None
+        self.__dp_eval = None
+        self._empty_batch = None
+
+    # ZeRO-1 ------------------------------------------------------------------
+    def _zero1_apply(self, state, grads):
+        """Sharded optimizer update inside shard_map: this device's opt-state
+        leaves are [L/D] slices of the flat buffers; slice the (replicated)
+        grads/params likewise, update locally, all_gather the deltas."""
+        from jax.flatten_util import ravel_pytree
+
+        flat_g, _ = ravel_pytree(grads)
+        flat_p, unravel = ravel_pytree(state.params)
+        L0 = flat_g.size
+        pad = (-L0) % self.n_dev
+        flat_g = jnp.concatenate([flat_g, jnp.zeros((pad,), flat_g.dtype)])
+        flat_p_pad = jnp.concatenate([flat_p, jnp.zeros((pad,), flat_p.dtype)])
+        shard = flat_g.size // self.n_dev
+        i = jax.lax.axis_index("data")
+        g_sh = jax.lax.dynamic_slice(flat_g, (i * shard,), (shard,))
+        p_sh = jax.lax.dynamic_slice(flat_p_pad, (i * shard,), (shard,))
+        upd_sh, new_opt = self.tx.update(g_sh, state.opt_state, p_sh)
+        upd = jax.lax.all_gather(upd_sh, "data", tiled=True)
+        new_params = unravel(flat_p + upd[:L0])
+        return new_params, new_opt
+
+    def _state_specs(self, state):
+        if not self.zero1:
+            return P()
+        from hydragnn_tpu.train.loop import TrainState
+
+        opt_specs = jax.tree.map(
+            lambda x: P("data")
+            if (
+                getattr(x, "ndim", 0) >= 1
+                and x.shape[0] > 0
+                and x.shape[0] % self.n_dev == 0
+            )
+            else P(),
+            state.opt_state,
+        )
+        return TrainState(
+            params=jax.tree.map(lambda _: P(), state.params),
+            batch_stats=jax.tree.map(lambda _: P(), state.batch_stats),
+            opt_state=opt_specs,
+            step=P(),
+        )
+
+    def _steps(self, state):
+        if self.__dp_train is None:
+            sspec = self._state_specs(state)
+            self.__dp_train = jax.jit(
+                self._shard_map(
+                    self._train_fn, mesh=self.mesh,
+                    in_specs=(sspec, P("data")),
+                    out_specs=(sspec, P(), P(), P()),
+                    check_rep=False,
+                )
+            )
+            self.__dp_eval = jax.jit(
+                self._shard_map(
+                    self._eval_fn, mesh=self.mesh,
+                    in_specs=(sspec, P("data")),
+                    out_specs=(P(), P(), P()),
+                    check_rep=False,
+                )
+            )
+        return self.__dp_train, self.__dp_eval
+
+    # single-device delegates -------------------------------------------------
+    def init_state(self, example):
+        state = self._single.init_state(example)
+        if self.zero1:
+            from jax.flatten_util import ravel_pytree
+
+            flat_p, _ = ravel_pytree(state.params)
+            pad = (-flat_p.size) % self.n_dev
+            flat_p = jnp.concatenate(
+                [flat_p, jnp.zeros((pad,), flat_p.dtype)]
+            )
+            state = state.replace(opt_state=self.tx.init(flat_p))
+        return state
+
+    @property
+    def predict_step(self):
+        return self._single.predict_step
+
+    @property
+    def train_step(self):
+        return self._single.train_step
+
+    @property
+    def eval_step(self):
+        return self._single.eval_step
+
+    # grouping ---------------------------------------------------------------
+    def _groups(self, loader):
+        """Yield stacked+sharded groups of n_dev batches; the ragged tail is
+        padded with all-masked empty batches (ng-weighting makes them
+        no-ops)."""
+        group = []
+        for batch in loader:
+            group.append(batch)
+            if len(group) == self.n_dev:
+                yield shard_stacked_batch(stack_batches(group), self.mesh)
+                group = []
+        if group:
+            if self._empty_batch is None:
+                import numpy as _np
+
+                self._empty_batch = jax.tree.map(
+                    lambda x: _np.zeros_like(_np.asarray(x)), group[0]
+                )
+            group = group + [self._empty_batch] * (self.n_dev - len(group))
+            yield shard_stacked_batch(stack_batches(group), self.mesh)
+
+    def run_epoch(self, state, loader):
+        total = 0.0
+        tasks_total = None
+        n = 0.0
+        dp_train, _ = self._steps(state)
+        for stacked in self._groups(loader):
+            state, loss, tasks, ng = dp_train(state, stacked)
+            ngf = float(ng)
+            total += float(loss) * ngf
+            t = np.asarray(tasks)
+            tasks_total = t * ngf if tasks_total is None else tasks_total + t * ngf
+            n += ngf
+        if tasks_total is None:
+            return state, 0.0, np.zeros((1,))
+        return state, total / max(n, 1.0), tasks_total / max(n, 1.0)
+
+    def evaluate(self, state, loader):
+        total = 0.0
+        tasks_total = None
+        n = 0.0
+        _, dp_eval = self._steps(state)
+        for stacked in self._groups(loader):
+            loss, tasks, ng = dp_eval(state, stacked)
+            ngf = float(ng)
+            total += float(loss) * ngf
+            t = np.asarray(tasks)
+            tasks_total = t * ngf if tasks_total is None else tasks_total + t * ngf
+            n += ngf
+        if tasks_total is None:
+            return 0.0, np.zeros((1,))
+        return total / max(n, 1.0), tasks_total / max(n, 1.0)

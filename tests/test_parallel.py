@@ -205,3 +205,102 @@ def test_branch_decoder_grad_scaling_matches_per_group_mean():
         ),
         ref_params, new_state.params,
     )
+
+
+def _rt_config(batch_size, num_devices, num_samples=64):
+    return {
+        "Verbosity": {"level": 0},
+        "Dataset": {
+            "name": f"dp_api_{num_devices}",
+            "format": "unit_test",
+            "num_samples": num_samples,
+            "node_features": {"name": ["x", "x2", "x3"], "dim": [1, 1, 1],
+                              "column_index": [0, 6, 7]},
+            "graph_features": {"name": ["sum"], "dim": [1], "column_index": [0]},
+        },
+        "NeuralNetwork": {
+            "Architecture": {
+                "mpnn_type": "GIN", "radius": 2.0, "max_neighbours": 100,
+                "hidden_dim": 16, "num_conv_layers": 2,
+                "output_heads": {"graph": {"num_sharedlayers": 1,
+                                           "dim_sharedlayers": 8,
+                                           "num_headlayers": 1,
+                                           "dim_headlayers": [8]}},
+                "task_weights": [1.0],
+            },
+            "Variables_of_interest": {
+                "input_node_features": [0], "output_names": ["sum"],
+                "output_index": [0], "output_dim": [1], "type": ["graph"],
+            },
+            "Training": {
+                # SGD: linear in the gradients, so the trajectory comparison
+                # is not chaotically amplified by Adam's first-step sign(g)
+                # normalization of reduction-order noise
+                "num_epoch": 3, "perc_train": 0.75,
+                "loss_function_type": "mse", "batch_size": batch_size,
+                "num_devices": num_devices,
+                "Optimizer": {"type": "SGD", "learning_rate": 1e-2},
+            },
+        },
+        "Visualization": {"create_plots": False},
+    }
+
+
+def test_run_training_dp_matches_single_device(tmp_path, monkeypatch):
+    """The production run_training path over the 8-virtual-device mesh
+    (DataParallelTrainer + SyncBatchNorm) produces the same loss trajectory
+    as a single device with the same GLOBAL batch (reference automatic DDP
+    wrap, run_training.py:105 + SyncBatchNorm distributed.py:416)."""
+    from hydragnn_tpu.api import run_training
+
+    monkeypatch.chdir(tmp_path)
+    # batches are drawn shuffled with the same seed and identical padded
+    # shapes, so 8 device-batches of 4 == 1 batch of 32 per update
+    info1 = run_training(_rt_config(batch_size=32, num_devices=1))
+    info8 = run_training(_rt_config(batch_size=4, num_devices=8))
+    h1 = [h["train"] for h in info1["history"]]
+    h8 = [h["train"] for h in info8["history"]]
+    np.testing.assert_allclose(h8, h1, rtol=2e-3)
+
+
+def test_zero1_optimizer_state_sharding():
+    """ZeRO-1 analogue (reference ZeroRedundancyOptimizer,
+    utils/optimizer/optimizer.py:43-101): optimizer moments are stored flat
+    and sharded over the data axis; the resulting updates match the
+    replicated-optimizer path."""
+    from hydragnn_tpu.data.batching import PaddedBatcher, compute_batch_dims
+    from hydragnn_tpu.parallel.dp import DataParallelTrainer, make_mesh
+
+    samples, model, _ = _setup(n=32)
+    dims = compute_batch_dims(samples, 4)
+    loader = list(PaddedBatcher(samples, 4, dims=dims))
+    mesh = make_mesh(8)
+    opt = {"type": "Adam", "learning_rate": 1e-2}
+    tr = DataParallelTrainer(model, opt, mesh)
+    trz = DataParallelTrainer(
+        model, dict(opt, use_zero_redundancy=True), mesh
+    )
+    s = tr.init_state(loader[0])
+    sz = trz.init_state(loader[0])
+
+    # moment buffers are flat vectors sharded over 'data'
+    mu = sz.opt_state.inner_state[0].mu
+    from jax.flatten_util import ravel_pytree
+
+    flat_p, _ = ravel_pytree(s.params)
+    assert mu.ndim == 1 and mu.size >= flat_p.size and mu.size % 8 == 0
+
+    s, l1, _ = tr.run_epoch(s, iter(loader))
+    sz, l2, _ = trz.run_epoch(sz, iter(loader))
+    assert abs(l1 - l2) < 1e-5 * max(1.0, abs(l1))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6
+        ),
+        s.params, sz.params,
+    )
+    # the sharded state really is distributed: each device holds 1/8
+    mu_out = sz.opt_state.inner_state[0].mu
+    shd = mu_out.sharding
+    assert not shd.is_fully_replicated
+    assert mu_out.addressable_shards[0].data.shape[0] == mu_out.shape[0] // 8
