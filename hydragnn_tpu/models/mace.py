@@ -46,7 +46,7 @@ from hydragnn_tpu.models.base import (
     activation_function_selection,
 )
 from hydragnn_tpu.models.geometric import edge_vectors_lengths
-from hydragnn_tpu.models.radial import MACEBesselBasis, polynomial_cutoff, safe_dist
+from hydragnn_tpu.models.radial import MACERadialEmbedding, safe_dist
 from hydragnn_tpu.ops import segment_sum
 
 
@@ -136,7 +136,6 @@ class MACELayer(nn.Module):
     hidden_irreps: Irreps
     out_irreps: Irreps
     correlation: int
-    first_layer: bool = False
 
     @nn.compact
     def __call__(
@@ -176,7 +175,7 @@ class MACELayer(nn.Module):
         tp = WeightedTPConv(
             irreps_in=self.node_irreps_in,
             max_l_sh=cfg.max_ell,
-            max_l_out=cfg.node_max_ell if not self.first_layer else cfg.node_max_ell,
+            max_l_out=cfg.node_max_ell,
             name="conv_tp",
         )
         n_paths = len(tp.paths())
@@ -322,12 +321,20 @@ class MACEStack(ConvStack):
         z = jnp.clip(jnp.round(graph.x[:, 0]).astype(jnp.int32), 1, cfg.num_elements)
         node_attrs = jax.nn.one_hot(z - 1, cfg.num_elements, dtype=pos.dtype)
 
-        # radial embedding: bessel * polynomial cutoff (blocks.py:141)
+        # radial embedding: {bessel|gaussian|chebyshev} basis on the
+        # (optionally Agnesi/Soft-transformed) length x polynomial cutoff on
+        # the raw length (RadialEmbeddingBlock, blocks.py:141-178;
+        # MACEStack.py:80-81,171-177 thread radial_type/distance_transform)
         d = safe_dist(dist, g.edge_mask, fill=cfg.radius * 0.5)
-        rb = MACEBesselBasis(
-            num_basis=cfg.num_radial, r_max=cfg.radius, name="bessel"
-        )(d)
-        edge_feats = rb * polynomial_cutoff(d, cfg.radius, p=cfg.envelope_exponent)
+        z_int = jnp.clip(jnp.round(graph.x[:, 0]).astype(jnp.int32), 1, 118)
+        edge_feats = MACERadialEmbedding(
+            num_basis=cfg.num_radial,
+            r_max=cfg.radius,
+            num_polynomial_cutoff=cfg.envelope_exponent,
+            radial_type=cfg.radial_type or "bessel",
+            distance_transform=cfg.distance_transform or "None",
+            name="radial_embedding",
+        )(d, z_int[graph.senders], z_int[graph.receivers])
         if self.use_edge_attr() and g.edge_attr is not None:
             edge_feats = jnp.concatenate(
                 [g.edge_attr.astype(edge_feats.dtype), edge_feats], axis=-1
@@ -360,7 +367,6 @@ class MACEStack(ConvStack):
                 hidden_irreps=hidden_irreps if not last else scalar_irreps,
                 out_irreps=out_irreps,
                 correlation=corr[i],
-                first_layer=(i == 0),
                 name=f"layer_{i}",
             )(g, feats, node_attrs, edge_sh, edge_feats, train=train)
             node_irreps = out_irreps

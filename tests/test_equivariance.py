@@ -84,14 +84,14 @@ def test_rotational_invariance_of_scalar_outputs(mpnn):
     )
 
 
-def test_force_equivariance_egnn():
+def _force_equivariance_check(model, cfg_note=""):
+    """F(Rx) = R F(x) and E(Rx) = E(x) for a fresh-initialized model
+    (reference tests/test_forces_equivariant.py:49-125 semantics)."""
     from hydragnn_tpu.models.mlip import energy_force_loss
 
     samples = lennard_jones_data(4, seed=13)
     for s in samples:
         s.edge_index = radius_graph(s.pos, 3.0, 32)
-    cfg = _mlip_cfg()
-    model = create_model("EGNN", cfg)
     weights = {"energy_weight": 1.0, "energy_peratom_weight": 1.0, "force_weight": 1.0}
     tr = Trainer(model, {"type": "Adam", "learning_rate": 1e-3}, mlip=weights)
     b = _batch(samples)
@@ -115,7 +115,8 @@ def test_force_equivariance_egnn():
     nm = np.asarray(b.node_mask)
     # E(Rx) = E(x)
     np.testing.assert_allclose(
-        np.asarray(energy)[gm], np.asarray(energy2)[gm], rtol=2e-3, atol=2e-4
+        np.asarray(energy)[gm], np.asarray(energy2)[gm], rtol=2e-3, atol=2e-4,
+        err_msg=f"energy invariance {cfg_note}",
     )
     # F(Rx) = R F(x)
     np.testing.assert_allclose(
@@ -123,10 +124,85 @@ def test_force_equivariance_egnn():
         np.asarray(forces2)[nm],
         rtol=5e-3,
         atol=5e-4,
+        err_msg=f"force equivariance {cfg_note}",
     )
 
 
-def test_forces_match_finite_difference_of_energy():
+@pytest.mark.parametrize(
+    "mpnn", ["EGNN", "PAINN", "PNAEq", "MACE", "SchNet", "PNAPlus"]
+)
+def test_force_equivariance_matrix(mpnn):
+    """Force equivariance across the geometric family (node-head energy),
+    the matrix the reference covers in test_forces_equivariant.py."""
+    import dataclasses
+
+    cfg = _mlip_cfg()
+    if mpnn in ("PNAPlus", "PNAEq"):
+        cfg = dataclasses.replace(cfg, pna_deg=tuple([0] * 5 + [10] * 10))
+    _force_equivariance_check(create_model(mpnn, cfg), mpnn)
+
+
+def test_force_equivariance_graph_head():
+    """Graph-head energy variant: E read from a graph head with add-pooling
+    (reference create.py:651-672 sum-pool energy path)."""
+    import dataclasses
+
+    cfg = StackConfig(
+        input_dim=1,
+        hidden_dim=16,
+        output_dim=(1,),
+        output_type=("graph",),
+        graph_branches=normalize_branches(
+            {"num_sharedlayers": 1, "dim_sharedlayers": 16,
+             "num_headlayers": 2, "dim_headlayers": [16, 16]}
+        ),
+        task_weights=(1.0,),
+        num_conv_layers=2,
+        radius=3.0,
+        num_radial=6,
+        equivariance=True,
+        max_ell=2,
+        node_max_ell=1,
+        avg_num_neighbors=8.0,
+        graph_pooling="add",
+    )
+    _force_equivariance_check(create_model("EGNN", cfg), "EGNN graph-head")
+
+
+def test_force_equivariance_mace_higher_order():
+    """MACE at max_ell=3, correlation=3 (VERDICT: previously only tested at
+    max_ell=2 scalar outputs)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        _mlip_cfg(node_max_ell=2, hidden=8),
+        max_ell=3,
+        correlation=(3,),
+    )
+    _force_equivariance_check(create_model("MACE", cfg), "MACE l=3 corr=3")
+
+
+def test_force_equivariance_mace_radial_variants():
+    """MACE with the non-default radial family actually wired through
+    (MACEStack.py:80-81,171-177): chebyshev basis + Agnesi transform."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        _mlip_cfg(hidden=8),
+        radial_type="chebyshev",
+        distance_transform="Agnesi",
+    )
+    _force_equivariance_check(create_model("MACE", cfg), "MACE cheb+agnesi")
+    cfg = dataclasses.replace(
+        _mlip_cfg(hidden=8),
+        radial_type="gaussian",
+        distance_transform="Soft",
+    )
+    _force_equivariance_check(create_model("MACE", cfg), "MACE gauss+soft")
+
+
+@pytest.mark.parametrize("mpnn", ["SchNet", "EGNN", "PAINN", "MACE"])
+def test_forces_match_finite_difference_of_energy(mpnn):
     """Predicted forces are exactly -dE/dpos of the predicted energy."""
     from hydragnn_tpu.models.mlip import energy_force_loss
 
@@ -134,7 +210,7 @@ def test_forces_match_finite_difference_of_energy():
     for s in samples:
         s.edge_index = radius_graph(s.pos, 3.0, 32)
     cfg = _mlip_cfg(layers=1)
-    model = create_model("SchNet", cfg)
+    model = create_model(mpnn, cfg)
     weights = {"energy_weight": 1.0, "force_weight": 1.0}
     tr = Trainer(model, {"type": "Adam", "learning_rate": 1e-3}, mlip=weights)
     b = _batch(samples, bs=2)
