@@ -200,20 +200,38 @@ def _make_loaders(config: Dict, train, val, test):
 
     bs = int(config["NeuralNetwork"]["Training"]["batch_size"])
     everything = list(train) + list(val) + list(test)
-    dims = compute_batch_dims(everything, bs)
-    n_trip = (
-        compute_triplet_dim(everything, bs) if train[0].trip_kj is not None else None
-    )
     # scatter-free Pallas aggregation path (ops/pallas_segment.py): worth
     # the plan-building host cost when features are lane-aligned on TPU
     hidden = int(config["NeuralNetwork"]["Architecture"].get("hidden_dim", 0) or 0)
     use_pallas = jax.default_backend() == "tpu" and hidden % 128 == 0
-    kw = dict(dims=dims, n_triplet=n_trip, use_pallas_agg=use_pallas)
-    loaders = (
-        PaddedBatcher(train, bs, shuffle=True, seed=1, **kw),
-        PaddedBatcher(val, bs, **kw),
-        PaddedBatcher(test, bs, **kw),
+    num_buckets = int(
+        config["NeuralNetwork"]["Training"].get("num_buckets", 1) or 1
     )
+    if num_buckets > 1:
+        # size-bucketed padding (SURVEY section 7.1): one compiled
+        # executable per bucket shape, much less padding waste on
+        # wide-size-spread datasets
+        from hydragnn_tpu.data.batching import BucketedBatcher
+
+        kw = dict(num_buckets=num_buckets, use_pallas_agg=use_pallas)
+        loaders = (
+            BucketedBatcher(train, bs, shuffle=True, seed=1, **kw),
+            BucketedBatcher(val, bs, **kw),
+            BucketedBatcher(test, bs, **kw),
+        )
+    else:
+        dims = compute_batch_dims(everything, bs)
+        n_trip = (
+            compute_triplet_dim(everything, bs)
+            if train[0].trip_kj is not None
+            else None
+        )
+        kw = dict(dims=dims, n_triplet=n_trip, use_pallas_agg=use_pallas)
+        loaders = (
+            PaddedBatcher(train, bs, shuffle=True, seed=1, **kw),
+            PaddedBatcher(val, bs, **kw),
+            PaddedBatcher(test, bs, **kw),
+        )
     workers = int(os.environ.get("HYDRAGNN_TPU_NUM_WORKERS", "1"))
     if workers > 0:
         from hydragnn_tpu.data.prefetch import PrefetchLoader

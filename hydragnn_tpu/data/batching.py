@@ -333,3 +333,83 @@ class PaddedBatcher:
                 n_triplet=self.n_triplet,
                 agg_plan=self.agg_plan,
             )
+
+
+class BucketedBatcher:
+    """Size-bucketed epoch iterator (SURVEY section 7.1 design note): samples
+    are partitioned into ``num_buckets`` groups by node count, each bucket
+    padded only to ITS OWN maximum — jit compiles one executable per bucket
+    shape, and padding waste on wide-size-spread datasets (QM9: 3-29 atoms)
+    drops accordingly.  Same interface as :class:`PaddedBatcher`.
+    """
+
+    def __init__(
+        self,
+        samples: Sequence[GraphSample],
+        batch_size: int,
+        num_buckets: int = 4,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = False,
+        use_pallas_agg: bool = False,
+        tile_nodes: int = 128,
+        tile_edges: int = 512,
+    ):
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.epoch = 0
+
+        order = np.argsort([s.num_nodes for s in samples], kind="stable")
+        samples = [samples[i] for i in order]
+        num_buckets = max(1, min(num_buckets, len(samples)))
+        bounds = np.linspace(0, len(samples), num_buckets + 1).astype(int)
+        self.buckets: List[PaddedBatcher] = []
+        for b in range(num_buckets):
+            group = samples[bounds[b] : bounds[b + 1]]
+            if not group:
+                continue
+            self.buckets.append(
+                PaddedBatcher(
+                    group,
+                    batch_size,
+                    shuffle=shuffle,
+                    seed=seed + 7919 * b,
+                    drop_last=drop_last,
+                    use_pallas_agg=use_pallas_agg,
+                    tile_nodes=tile_nodes,
+                    tile_edges=tile_edges,
+                )
+            )
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+        for b in self.buckets:
+            b.set_epoch(epoch)
+
+    def __len__(self) -> int:
+        return sum(len(b) for b in self.buckets)
+
+    def __iter__(self) -> Iterator[GraphBatch]:
+        batches = [(bi, j) for bi, b in enumerate(self.buckets) for j in range(len(b))]
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + 31 * self.epoch + 1)
+            rng.shuffle(batches)
+        iters = [iter(b) for b in self.buckets]
+        for bi, _ in batches:
+            yield next(iters[bi])
+
+    def padded_dims(self) -> List[Tuple[int, int, int]]:
+        return [b.dims for b in self.buckets]
+
+
+def padding_waste(loader) -> float:
+    """Fraction of padded node slots that hold no real node over one epoch
+    (the bucketing before/after metric)."""
+    total = 0
+    used = 0
+    for batch in loader:
+        total += int(np.asarray(batch.node_mask).shape[0])
+        used += int(np.asarray(batch.node_mask).sum())
+    return 1.0 - used / max(total, 1)

@@ -44,6 +44,88 @@ def _mha(x, attn_mask, channels: int, heads: int):
     return nn.Dense(channels, name="attn_out_proj")(out)
 
 
+def _orthogonal_features(key, heads: int, dim: int, m: int):
+    """FAVOR+ orthogonal random features [H, D, M]: blocks of orthonormal
+    columns rescaled to chi(D)-distributed norms (Choromanski et al. 2021;
+    the construction PyG's PerformerAttention uses). Deterministic: built
+    from a fixed key at trace time, so jit caches it as a constant."""
+    n_blocks = -(-m // dim)
+    cols = []
+    for i in range(n_blocks):
+        g = jax.random.normal(jax.random.fold_in(key, i), (heads, dim, dim))
+        q, _ = jnp.linalg.qr(g)
+        cols.append(q)
+    w = jnp.concatenate(cols, axis=2)[:, :, :m]  # [H, D, M]
+    norms = jnp.linalg.norm(
+        jax.random.normal(jax.random.fold_in(key, 10_000), (heads, dim, m)),
+        axis=1,
+        keepdims=True,
+    )
+    return w * norms
+
+
+def _performer_attn(
+    x, node_mask, seg_ids, n_graph, channels: int, heads: int,
+    head_channels: int, per_graph: bool,
+):
+    """FAVOR+ linear attention (softmax-kernel estimator), the TPU-native
+    re-design of the reference's PerformerAttention option
+    (``globalAtt/gps.py:62-70,130``): O(N·M·D) einsums instead of the
+    O(N^2) dense score matrix — XLA maps them straight onto the MXU.
+
+    phi(u) = exp(w^T u - |u|^2/2 - stab) / sqrt(M) with q,k pre-scaled by
+    d^{-1/4}; attention = phi(q) (phi(k)^T v) / (phi(q) sum phi(k)).
+    ``per_graph`` uses segment sums so each graph attends to itself only;
+    the default single-sequence mode reproduces the reference quirk."""
+    N = x.shape[0]
+    D = channels // heads
+    M = head_channels
+    qkv = nn.Dense(3 * channels, name="attn_in_proj")(x)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(N, heads, D) * (D ** -0.25)
+    k = k.reshape(N, heads, D) * (D ** -0.25)
+    v = v.reshape(N, heads, D)
+
+    w = _orthogonal_features(jax.random.PRNGKey(42), heads, D, M).astype(x.dtype)
+    proj_q = jnp.einsum("nhd,hdm->nhm", q, w)
+    proj_k = jnp.einsum("nhd,hdm->nhm", k, w)
+    sq_q = 0.5 * jnp.sum(q * q, axis=-1, keepdims=True)
+    sq_k = 0.5 * jnp.sum(k * k, axis=-1, keepdims=True)
+    # stabilizers cancel in the normalization; padding rows are clamped to
+    # a finite very-negative logit BEFORE exp so the masked-zero cotangent
+    # never meets an overflowed forward value (0 * inf = NaN in backward)
+    m3 = node_mask[:, None, None]
+    sqrt_m = jnp.sqrt(jnp.asarray(M, x.dtype))
+    q_logits = proj_q - sq_q
+    phi_q = jnp.exp(
+        q_logits - jax.lax.stop_gradient(jnp.max(q_logits, axis=-1, keepdims=True))
+    ) / sqrt_m
+    k_logits = jnp.where(m3, proj_k - sq_k, -1e30)
+    stab_k = jax.lax.stop_gradient(jnp.max(k_logits))
+    k_logits = jnp.where(m3, k_logits - stab_k, -80.0)
+    phi_k = jnp.where(m3, jnp.exp(k_logits), 0.0) / sqrt_m
+    v = jnp.where(m3, v, 0.0)
+
+    if per_graph:
+        from hydragnn_tpu.ops import segment_sum
+
+        kv = jnp.einsum("nhm,nhd->nhmd", phi_k, v).reshape(N, heads * M * D)
+        kv = segment_sum(kv, seg_ids, n_graph, mask=node_mask)
+        kv = kv[seg_ids].reshape(N, heads, M, D)
+        ks = segment_sum(
+            phi_k.reshape(N, heads * M), seg_ids, n_graph, mask=node_mask
+        )[seg_ids].reshape(N, heads, M)
+        out = jnp.einsum("nhm,nhmd->nhd", phi_q, kv)
+        z = jnp.einsum("nhm,nhm->nh", phi_q, ks)
+    else:
+        kv = jnp.einsum("nhm,nhd->hmd", phi_k, v)
+        ks = jnp.sum(phi_k, axis=0)  # [H, M]
+        out = jnp.einsum("nhm,hmd->nhd", phi_q, kv)
+        z = jnp.einsum("nhm,hm->nh", phi_q, ks)
+    out = out / jnp.maximum(z, 1e-9)[..., None]
+    return nn.Dense(channels, name="attn_out_proj")(out.reshape(N, channels))
+
+
 class GPSConv(nn.Module):
     channels: int
     conv: Optional[nn.Module]
@@ -52,10 +134,11 @@ class GPSConv(nn.Module):
     attn_type: str = "multihead"
     per_graph: bool = False
     bn_axis: Optional[str] = None
+    head_channels: int = 64  # Performer random-feature count (PyG default)
 
     @nn.compact
     def __call__(self, graph: GraphBatch, inv, equiv, ctx, train: bool = False):
-        if self.attn_type not in ("multihead", ""):
+        if self.attn_type not in ("multihead", "performer", ""):
             raise ValueError(f"{self.attn_type} attention is not supported")
         C = self.channels
         deterministic = not train
@@ -78,14 +161,22 @@ class GPSConv(nn.Module):
 
         # global self-attention over all real nodes (one sequence == the
         # reference's to_dense_batch(x, None) behavior)
-        if self.per_graph:
-            same = graph.node_graph[:, None] == graph.node_graph[None, :]
-            attn_mask = same & graph.node_mask[None, :] & graph.node_mask[:, None]
-        else:
-            attn_mask = jnp.broadcast_to(
-                graph.node_mask[None, :], (graph.n_node, graph.n_node)
+        if self.attn_type == "performer":
+            h = _performer_attn(
+                inv, graph.node_mask, graph.node_graph, graph.n_graph,
+                C, self.heads, self.head_channels, self.per_graph,
             )
-        h = _mha(inv, attn_mask, C, self.heads)
+        else:
+            if self.per_graph:
+                same = graph.node_graph[:, None] == graph.node_graph[None, :]
+                attn_mask = (
+                    same & graph.node_mask[None, :] & graph.node_mask[:, None]
+                )
+            else:
+                attn_mask = jnp.broadcast_to(
+                    graph.node_mask[None, :], (graph.n_node, graph.n_node)
+                )
+            h = _mha(inv, attn_mask, C, self.heads)
         h = drop(h, "d2")
         h = h + inv
         h = MaskedBatchNorm(C, name="norm2", axis_name=self.bn_axis)(

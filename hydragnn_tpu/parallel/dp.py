@@ -342,23 +342,31 @@ class DataParallelTrainer:
 
     # grouping ---------------------------------------------------------------
     def _groups(self, loader):
-        """Yield stacked+sharded groups of n_dev batches; the ragged tail is
-        padded with all-masked empty batches (ng-weighting makes them
-        no-ops)."""
-        group = []
-        for batch in loader:
-            group.append(batch)
-            if len(group) == self.n_dev:
-                yield shard_stacked_batch(stack_batches(group), self.mesh)
-                group = []
-        if group:
-            if self._empty_batch is None:
-                import numpy as _np
+        """Yield stacked+sharded groups of n_dev same-shape batches; with a
+        BucketedBatcher upstream, batches are pooled per padded shape (one
+        executable per bucket).  Ragged tails are padded with all-masked
+        empty batches (ng-weighting makes them no-ops)."""
+        import numpy as _np
 
-                self._empty_batch = jax.tree.map(
-                    lambda x: _np.zeros_like(_np.asarray(x)), group[0]
-                )
-            group = group + [self._empty_batch] * (self.n_dev - len(group))
+        def shape_key(batch):
+            return tuple(
+                _np.asarray(x).shape for x in jax.tree.leaves(batch)
+            )
+
+        pending = {}
+        for batch in loader:
+            k = shape_key(batch)
+            pending.setdefault(k, []).append(batch)
+            if len(pending[k]) == self.n_dev:
+                yield shard_stacked_batch(stack_batches(pending[k]), self.mesh)
+                pending[k] = []
+        for group in pending.values():
+            if not group:
+                continue
+            empty = jax.tree.map(
+                lambda x: _np.zeros_like(_np.asarray(x)), group[0]
+            )
+            group = group + [empty] * (self.n_dev - len(group))
             yield shard_stacked_batch(stack_batches(group), self.mesh)
 
     def run_epoch(self, state, loader):

@@ -107,3 +107,55 @@ def test_multihead_training_runs(tmp_path, monkeypatch):
     err, tasks, true_v, pred_v = hydragnn_tpu.run_prediction(cfg)
     assert len(true_v) == 4
     assert np.isfinite(err)
+
+
+def test_gps_performer_trains_to_threshold(tmp_path, monkeypatch):
+    """GPS with Performer (FAVOR+ linear) attention trains to the same
+    threshold as multihead (reference globalAtt/gps.py:62-70 performer
+    option)."""
+    import hydragnn_tpu
+
+    monkeypatch.chdir(tmp_path)
+    cfg = _base_config("GIN", num_samples=200, epochs=40)
+    arch = cfg["NeuralNetwork"]["Architecture"]
+    arch["global_attn_engine"] = "GPS"
+    arch["global_attn_type"] = "performer"
+    arch["global_attn_heads"] = 2
+    arch["pe_dim"] = 2
+    cfg["Dataset"]["name"] = "ci_gps_performer"
+    hydragnn_tpu.run_training(cfg)
+    err, _, true_v, pred_v = hydragnn_tpu.run_prediction(cfg)
+    assert err < 0.25, f"GPS+performer RMSE {err}"
+
+
+def test_performer_approximates_dense_softmax_attention():
+    """FAVOR+ with many random features converges to the dense softmax
+    attention it estimates (sanity for the kernel construction)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hydragnn_tpu.models.gps import _orthogonal_features
+
+    rng = np.random.default_rng(0)
+    N, H, D, M = 24, 2, 8, 2048
+    q = jnp.asarray(rng.normal(0, 0.5, (N, H, D)), jnp.float32) * (D ** -0.25)
+    k = jnp.asarray(rng.normal(0, 0.5, (N, H, D)), jnp.float32) * (D ** -0.25)
+    v = jnp.asarray(rng.normal(0, 1.0, (N, H, D)), jnp.float32)
+
+    # dense reference
+    scores = jnp.einsum("nhd,mhd->hnm", q, k)
+    att = jax.nn.softmax(scores, axis=-1)
+    dense = jnp.einsum("hnm,mhd->nhd", att, v)
+
+    w = _orthogonal_features(jax.random.PRNGKey(1), H, D, M)
+    pq = jnp.einsum("nhd,hdm->nhm", q, w) - 0.5 * jnp.sum(q * q, -1, keepdims=True)
+    pk = jnp.einsum("nhd,hdm->nhm", k, w) - 0.5 * jnp.sum(k * k, -1, keepdims=True)
+    phi_q = jnp.exp(pq - pq.max()) / np.sqrt(M)
+    phi_k = jnp.exp(pk - pk.max()) / np.sqrt(M)
+    kv = jnp.einsum("nhm,nhd->hmd", phi_k, v)
+    z = jnp.einsum("nhm,hm->nh", phi_q, jnp.sum(phi_k, 0))
+    lin = jnp.einsum("nhm,hmd->nhd", phi_q, kv) / z[..., None]
+
+    err = float(jnp.abs(lin - dense).max())
+    scale = float(jnp.abs(dense).max())
+    assert err < 0.15 * max(scale, 1.0), (err, scale)
