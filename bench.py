@@ -1,13 +1,20 @@
-"""Benchmark: message-passing edge throughput per chip.
+"""Benchmark: per-chip training throughput with roofline analysis.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+"details": {...}}.
 
-Metric (per BASELINE.md): edges/s/chip per conv layer -- the number of
-(real) edge messages processed per second per conv layer by a full
-train step (forward + backward + optimizer) on one chip.  The reference
-publishes no in-tree numbers (BASELINE.json "published": {}), so
-vs_baseline is reported against the framework's own first-recorded value
-of 1.0 (ratio placeholder).
+Headline metric (per BASELINE.md): edges/s/chip per conv layer — real edge
+messages pushed through one conv layer per second by a full train step
+(forward + backward + optimizer) on one chip, for the PNA bench config.
+
+Roofline: FLOPs/step and HBM bytes/step come from XLA's own compiled cost
+analysis (compiled.cost_analysis()), so MFU% = achieved/peak matmul
+throughput and BW% = achieved/peak HBM bandwidth are anchored to what the
+compiler actually emitted, not hand-waved counts.  v5e peaks: 197 TFLOPS
+bf16, 819 GB/s HBM.
+
+Extra configs (VERDICT r01 item 4): MACE, GIN+GPS attention, and an EGNN
+MLIP force-training step (grad-of-grad), each reported in "details".
 """
 
 import json
@@ -15,37 +22,45 @@ import time
 
 import numpy as np
 
+V5E_PEAK_BF16 = 197e12  # FLOP/s
+V5E_PEAK_HBM = 819e9  # B/s
 
-def build_bench_batch(n_graphs=64, nodes_per_graph=256, avg_degree=16, seed=0):
-    """Large synthetic batch: random geometric-ish graphs with fixed degree."""
+
+def build_bench_batch(
+    n_graphs=64, nodes_per_graph=256, avg_degree=16, seed=0, with_pe=False
+):
+    """Large synthetic batch: random fixed-degree graphs."""
     from hydragnn_tpu.data.batching import collate
-    from hydragnn_tpu.data.sample import GraphSample
-
     from hydragnn_tpu.data.pipeline import sort_edges_by_receiver
+    from hydragnn_tpu.data.sample import GraphSample
 
     rng = np.random.default_rng(seed)
     samples = []
     for _ in range(n_graphs):
         n = nodes_per_graph
         pos = rng.uniform(0, 10, (n, 3)).astype(np.float32)
-        # fixed-degree random neighbors (static, plausible locality not needed
-        # for throughput measurement)
         senders = np.repeat(np.arange(n), avg_degree)
         receivers = rng.integers(0, n, n * avg_degree)
         x = rng.normal(size=(n, 1)).astype(np.float32)
         y_graph = np.asarray([rng.normal()], np.float32)
         y_node = rng.normal(size=(n, 3)).astype(np.float32)
-        samples.append(
-            GraphSample(
-                x=x,
-                pos=pos,
-                edge_index=np.stack([senders, receivers]).astype(np.int64),
-                y_graph=y_graph,
-                y_node=y_node,
-            )
+        s = GraphSample(
+            x=x,
+            pos=pos,
+            edge_index=np.stack([senders, receivers]).astype(np.int64),
+            y_graph=y_graph,
+            y_node=y_node,
+            energy=float(rng.normal()),
+            forces=rng.normal(size=(n, 3)).astype(np.float32),
         )
+        if with_pe:
+            s.pe = rng.normal(size=(n, 2)).astype(np.float32)
+            s.rel_pe = np.abs(
+                s.pe[s.edge_index[0]] - s.pe[s.edge_index[1]]
+            ).astype(np.float32)
+        samples.append(s)
     sort_edges_by_receiver(samples)
-    n_node = n_graphs * nodes_per_graph + 128  # multiple of the 128-row tile
+    n_node = n_graphs * nodes_per_graph + 128
     n_edge = n_graphs * nodes_per_graph * avg_degree + 8
     max_deg = max(
         int(np.bincount(s.edge_index[k]).max()) for s in samples for k in (0, 1)
@@ -56,69 +71,185 @@ def build_bench_batch(n_graphs=64, nodes_per_graph=256, avg_degree=16, seed=0):
     )
 
 
-def main():
+def _cost_analysis(fn, *args):
+    """XLA-compiled flops + HBM bytes for fn(*args), or (None, None)."""
     import jax
 
+    try:
+        compiled = jax.jit(fn).lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)), float(
+            ca.get("bytes accessed", 0.0)
+        )
+    except Exception:
+        return None, None
+
+
+def _time_step(step, state, batch, n_iter=20):
+    state, loss, _ = step(state, batch)
+    _ = float(loss)  # host materialization == real sync through the tunnel
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        state, loss, _ = step(state, batch)
+    _ = float(loss)
+    return (time.perf_counter() - t0) / n_iter
+
+
+def _roofline(dt, flops, bytes_):
+    out = {"step_ms": round(dt * 1e3, 2)}
+    if flops:
+        out["tflops"] = round(flops / dt / 1e12, 2)
+        out["mfu_pct"] = round(100.0 * flops / dt / V5E_PEAK_BF16, 2)
+    if bytes_:
+        out["hbm_gbps"] = round(bytes_ / dt / 1e9, 1)
+        out["bw_pct"] = round(100.0 * bytes_ / dt / V5E_PEAK_HBM, 1)
+    return out
+
+
+def _mk_cfg(mpnn, hidden, layers, **kw):
     from hydragnn_tpu.models.base import StackConfig, normalize_branches
+
+    heads_graph = {
+        "num_sharedlayers": 2,
+        "dim_sharedlayers": hidden,
+        "num_headlayers": 2,
+        "dim_headlayers": [hidden, hidden],
+    }
+    heads_node = {
+        "num_headlayers": 2,
+        "dim_headlayers": [hidden, hidden],
+        "type": "mlp",
+    }
+    return StackConfig(
+        input_dim=1,
+        hidden_dim=hidden,
+        output_dim=kw.pop("output_dim", (1, 3)),
+        output_type=kw.pop("output_type", ("graph", "node")),
+        graph_branches=normalize_branches(heads_graph)
+        if "graph" in kw.get("head_levels", ("graph", "node"))
+        else (),
+        node_branches=normalize_branches(heads_node)
+        if "node" in kw.pop("head_levels", ("graph", "node"))
+        else (),
+        task_weights=kw.pop("task_weights", (1.0, 1.0)),
+        num_conv_layers=layers,
+        **kw,
+    )
+
+
+def bench_pna(batch):
     from hydragnn_tpu.models.create import create_model
     from hydragnn_tpu.train.loop import Trainer
 
-    num_conv_layers = 6
-    hidden = 256
-    batch = build_bench_batch()
-    heads = {
-        "graph": {
-            "num_sharedlayers": 2,
-            "dim_sharedlayers": hidden,
-            "num_headlayers": 2,
-            "dim_headlayers": [hidden, hidden],
-        },
-        "node": {
-            "num_headlayers": 2,
-            "dim_headlayers": [hidden, hidden],
-            "type": "mlp",
-        },
-    }
-    cfg = StackConfig(
-        input_dim=1,
-        hidden_dim=hidden,
-        output_dim=(1, 3),
-        output_type=("graph", "node"),
-        graph_branches=normalize_branches(heads["graph"]),
-        node_branches=normalize_branches(heads["node"]),
-        task_weights=(1.0, 1.0),
-        num_conv_layers=num_conv_layers,
+    cfg = _mk_cfg(
+        "PNA", 256, 6,
         pna_deg=tuple(np.bincount(np.full(16384, 16)).tolist()),
     )
     model = create_model("PNA", cfg)
-    # bf16 compute + fp32 master params: the production precision policy
-    # (reference runs bf16 autocast at scale, SC25-job scripts)
     trainer = Trainer(
         model, {"type": "AdamW", "learning_rate": 1e-3}, precision="bf16"
     )
     state = trainer.init_state(batch)
+    dt = _time_step(trainer.train_step, state, batch)
+    flops, bytes_ = _cost_analysis(trainer.train_step, state, batch)
+    return dt, _roofline(dt, flops, bytes_)
 
-    # warmup/compile (float() materializes on host -- a REAL device sync;
-    # block_until_ready alone does not synchronize through the axon tunnel)
-    state, loss, _ = trainer.train_step(state, batch)
-    _ = float(loss)
 
-    n_iter = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        state, loss, _ = trainer.train_step(state, batch)
-    _ = float(loss)
-    dt = time.perf_counter() - t0
+def bench_mace(batch):
+    from hydragnn_tpu.models.create import create_model
+    from hydragnn_tpu.train.loop import Trainer
 
-    # edge messages through one conv layer per second: each step pushes every
-    # real edge through L layers; per-layer rate = edges * iters / time
+    cfg = _mk_cfg(
+        "MACE", 128, 2,
+        max_ell=2, node_max_ell=1, num_radial=8, correlation=(2,),
+        avg_num_neighbors=16.0, radius=4.0,
+    )
+    model = create_model("MACE", cfg)
+    trainer = Trainer(
+        model, {"type": "AdamW", "learning_rate": 1e-3}, precision="bf16"
+    )
+    state = trainer.init_state(batch)
+    dt = _time_step(trainer.train_step, state, batch, n_iter=10)
+    flops, bytes_ = _cost_analysis(trainer.train_step, state, batch)
+    return dt, _roofline(dt, flops, bytes_)
+
+
+def bench_gps(batch):
+    from hydragnn_tpu.models.create import create_model
+    from hydragnn_tpu.train.loop import Trainer
+
+    cfg = _mk_cfg(
+        "GIN", 256, 4,
+        global_attn_engine="GPS", global_attn_type="multihead",
+        global_attn_heads=8, pe_dim=2,
+    )
+    model = create_model("GIN", cfg)
+    trainer = Trainer(
+        model, {"type": "AdamW", "learning_rate": 1e-3}, precision="bf16"
+    )
+    state = trainer.init_state(batch)
+    dt = _time_step(trainer.train_step, state, batch, n_iter=10)
+    flops, bytes_ = _cost_analysis(trainer.train_step, state, batch)
+    return dt, _roofline(dt, flops, bytes_)
+
+
+def bench_force_step(batch):
+    """EGNN MLIP force-training step (grad-of-grad, SURVEY 3.5)."""
+    from hydragnn_tpu.models.create import create_model
+    from hydragnn_tpu.train.loop import Trainer
+
+    cfg = _mk_cfg(
+        "EGNN", 256, 4,
+        output_dim=(1,), output_type=("node",),
+        head_levels=("node",), task_weights=(1.0,),
+        equivariance=True, max_ell=1, node_max_ell=1, num_radial=8,
+        radius=4.0, avg_num_neighbors=16.0,
+    )
+    model = create_model("EGNN", cfg)
+    weights = {
+        "energy_weight": 1.0,
+        "energy_peratom_weight": 1.0,
+        "force_weight": 25.0,
+    }
+    trainer = Trainer(
+        model,
+        {"type": "AdamW", "learning_rate": 1e-3},
+        mlip=weights,
+        precision="bf16",
+    )
+    state = trainer.init_state(batch)
+    dt = _time_step(trainer.train_step, state, batch, n_iter=10)
+    flops, bytes_ = _cost_analysis(trainer.train_step, state, batch)
+    return dt, _roofline(dt, flops, bytes_)
+
+
+def main():
+    batch = build_bench_batch()
     real_edges = int(np.asarray(batch.edge_mask).sum())
-    value = real_edges * n_iter / dt
+
+    dt_pna, r_pna = bench_pna(batch)
+    value = real_edges / dt_pna  # per conv layer: each step runs 6 layers...
+
+    details = {"pna_h256_L6": r_pna}
+    try:
+        _, details["mace_h128_L2"] = bench_mace(batch)
+    except Exception as e:
+        details["mace_h128_L2"] = {"error": repr(e)[:120]}
+    try:
+        batch_pe = build_bench_batch(with_pe=True)
+        _, details["gps_gin_h256_L4"] = bench_gps(batch_pe)
+    except Exception as e:
+        details["gps_gin_h256_L4"] = {"error": repr(e)[:120]}
+    try:
+        _, details["egnn_force_h256_L4"] = bench_force_step(batch)
+    except Exception as e:
+        details["egnn_force_h256_L4"] = {"error": repr(e)[:120]}
 
     # the reference publishes no in-tree numbers (BASELINE.json "published"
-    # is {}); baseline here = this framework's own naive XLA-scatter
-    # implementation of the same model/batch, measured at 773105 edges/s
-    # (pre-optimization, git history) on the same chip
+    # is {}); baseline = this framework's own naive XLA-scatter
+    # implementation of the same PNA model/batch (773105 edges/s, r01)
     naive_xla_scatter_baseline = 773105.1
     print(
         json.dumps(
@@ -127,6 +258,7 @@ def main():
                 "value": round(value, 1),
                 "unit": "edges/s",
                 "vs_baseline": round(value / naive_xla_scatter_baseline, 3),
+                "details": details,
             }
         )
     )

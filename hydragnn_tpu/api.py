@@ -349,17 +349,11 @@ def run_training(config_or_path, use_deepspeed: bool = False):
         log_dir=log_dir,
     )
 
-    # save final model (reference save_model, model/model.py:104)
-    import jax
+    # save final model (reference save_model, model/model.py:104) — one
+    # versioned orbax path shared with run_prediction
+    from hydragnn_tpu.train.checkpoint import save_model
 
-    with open(os.path.join(log_dir, "model.pkl"), "wb") as f:
-        pickle.dump(
-            jax.tree.map(
-                np.asarray,
-                {"params": state.params, "batch_stats": state.batch_stats},
-            ),
-            f,
-        )
+    save_model(log_dir, state)
     # config snapshot (reference save_config, config_utils.py:360)
     import json
 
@@ -400,9 +394,9 @@ def run_prediction(config_or_path, use_deepspeed: bool = False):
     state = trainer.init_state(next(iter(test_loader)))
 
     log_dir = _log_dir(config)
-    with open(os.path.join(log_dir, "model.pkl"), "rb") as f:
-        saved = pickle.load(f)
-    state = state.replace(params=saved["params"], batch_stats=saved["batch_stats"])
+    from hydragnn_tpu.train.checkpoint import load_model
+
+    state = load_model(log_dir, state)
 
     error, tasks_error = trainer.evaluate(state, test_loader)
 
@@ -447,5 +441,6 @@ def run_prediction(config_or_path, use_deepspeed: bool = False):
         viz = Visualizer(log_dir, output_names=var_cfg.get("output_names"))
         viz.create_parity_plot(true_cat, pred_cat)
         viz.create_error_histograms(true_cat, pred_cat)
+        viz.create_scatter_plots(true_cat, pred_cat)
 
     return error, list(np.asarray(tasks_error)), true_cat, pred_cat

@@ -1,0 +1,287 @@
+"""SMILES -> graph pipeline (reference
+``utils/descriptors_and_embeddings/smiles_utils.py:35-127``).
+
+Node features mirror the reference: ``[one_hot(type) | Z, is_aromatic,
+sp, sp2, sp3, num_H]``; edge features one-hot bond order
+{single, double, triple, aromatic}; hydrogens added explicitly; edges
+sorted by (src*N + dst).
+
+Uses RDKit when importable.  This environment ships no rdkit, so a
+built-in minimal SMILES parser covers the organic subset (B C N O P S F
+Cl Br I, aromatic lowercase, branches, ring closures incl. %nn, bond
+orders - = # :, charges/isotopes in brackets ignored beyond the symbol):
+enough for CSCE/zinc-class datasets.  DIVERGENCE (documented): without
+rdkit, hybridization is a valence heuristic (triple/allene -> sp,
+double/aromatic -> sp2, else sp3) and implicit hydrogen counts come from
+standard valences, not rdkit's sanitizer.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from hydragnn_tpu.data.sample import GraphSample
+from hydragnn_tpu.data.xyz import SYMBOL_TO_Z
+
+_VALENCE = {"B": 3, "C": 4, "N": 3, "O": 2, "P": 3, "S": 2,
+            "F": 1, "Cl": 1, "Br": 1, "I": 1, "H": 1}
+_BOND_ORDER = {"-": 1, "=": 2, "#": 3, ":": 1.5}
+_ORGANIC = ["Cl", "Br", "B", "C", "N", "O", "P", "S", "F", "I"]
+
+
+def _try_rdkit():
+    try:
+        from rdkit import Chem  # noqa: F401
+
+        return Chem
+    except ImportError:
+        return None
+
+
+class _Atom:
+    __slots__ = ("symbol", "aromatic", "charge", "h_explicit", "bonds")
+
+    def __init__(self, symbol, aromatic, charge=0, h_explicit=None):
+        self.symbol = symbol
+        self.aromatic = aromatic
+        self.charge = charge
+        self.h_explicit = h_explicit
+        self.bonds: List[Tuple[int, float]] = []  # (neighbor, order)
+
+
+def _parse_smiles(s: str) -> List[_Atom]:
+    """Minimal SMILES parser -> atom list with bonds."""
+    atoms: List[_Atom] = []
+    prev: List[Optional[int]] = [None]  # branch stack
+    pending_order: Optional[float] = None
+    rings: Dict[str, Tuple[int, Optional[float]]] = {}
+    i = 0
+    n = len(s)
+
+    def add_bond(a, b, order):
+        if order is None:
+            order = 1.5 if (atoms[a].aromatic and atoms[b].aromatic) else 1.0
+        atoms[a].bonds.append((b, order))
+        atoms[b].bonds.append((a, order))
+
+    def new_atom(atom: _Atom):
+        atoms.append(atom)
+        idx = len(atoms) - 1
+        nonlocal pending_order
+        if prev[-1] is not None:
+            add_bond(prev[-1], idx, pending_order)
+        pending_order = None
+        prev[-1] = idx
+
+    while i < n:
+        c = s[i]
+        if c == "(":
+            prev.append(prev[-1])
+            i += 1
+        elif c == ")":
+            prev.pop()
+            i += 1
+        elif c in _BOND_ORDER:
+            pending_order = _BOND_ORDER[c]
+            i += 1
+        elif c == "/" or c == "\\" or c == ".":
+            i += 1  # stereo/no-bond markers ignored
+        elif c == "[":
+            j = s.index("]", i)
+            body = s[i + 1 : j]
+            m = re.match(
+                r"(\d*)([A-Za-z][a-z]?)(@{0,2})(H\d*)?([+-]\d*|[+-]*)?", body
+            )
+            sym = m.group(2)
+            aromatic = sym.islower()
+            sym_t = sym.capitalize() if aromatic else sym
+            hs = m.group(4)
+            nh = 0 if hs is None else (int(hs[1:]) if len(hs) > 1 else 1)
+            chg_s = m.group(5) or ""
+            chg = 0
+            if chg_s:
+                if chg_s[-1].isdigit():
+                    chg = int(chg_s[1:]) * (1 if chg_s[0] == "+" else -1)
+                else:
+                    chg = chg_s.count("+") - chg_s.count("-")
+            new_atom(_Atom(sym_t, aromatic, chg, nh))
+            i = j + 1
+        elif c == "%":
+            key = s[i : i + 3]
+            if key in rings:
+                a, order = rings.pop(key)
+                add_bond(a, prev[-1], order or pending_order)
+            else:
+                rings[key] = (prev[-1], pending_order)
+            pending_order = None
+            i += 3
+        elif c.isdigit():
+            key = c
+            if key in rings:
+                a, order = rings.pop(key)
+                add_bond(a, prev[-1], order or pending_order)
+            else:
+                rings[key] = (prev[-1], pending_order)
+            pending_order = None
+            i += 1
+        else:
+            sym = None
+            for cand in _ORGANIC:
+                if s.startswith(cand, i):
+                    sym = cand
+                    break
+            if sym is None and c.lower() in "bcnops":
+                sym = c
+            if sym is None:
+                raise ValueError(f"Cannot parse SMILES at {s[i:]!r}")
+            aromatic = sym.islower()
+            new_atom(_Atom(sym.capitalize() if aromatic else sym, aromatic))
+            i += len(sym)
+    if rings:
+        raise ValueError(f"Unclosed ring bonds in {s!r}")
+    return atoms
+
+
+def _implicit_h(atom: _Atom) -> int:
+    if atom.h_explicit is not None:
+        return atom.h_explicit
+    val = _VALENCE.get(atom.symbol, 0)
+    if atom.aromatic:
+        # aromatic atom: sigma bonds + one shared pi electron
+        used = len(atom.bonds) + 1
+    else:
+        used = sum(int(round(o)) for _, o in atom.bonds)
+    return max(0, int(val + atom.charge - used))
+
+
+def _hybridization(atom: _Atom) -> Tuple[int, int, int]:
+    orders = [o for _, o in atom.bonds]
+    if 3 in orders or orders.count(2) >= 2:
+        return 1, 0, 0  # sp
+    if 2 in orders or atom.aromatic:
+        return 0, 1, 0  # sp2
+    if atom.symbol in ("C", "N", "O", "P", "S", "B"):
+        return 0, 0, 1  # sp3
+    return 0, 0, 0
+
+
+def smiles_to_graph(
+    smiles: str,
+    ytarget: Optional[np.ndarray] = None,
+    types: Optional[Dict[str, int]] = None,
+) -> GraphSample:
+    """SMILES string -> GraphSample with reference feature layout
+    (``generate_graphdata_from_smilestr``, smiles_utils.py:36-47)."""
+    chem = _try_rdkit()
+    if chem is not None:
+        return _smiles_to_graph_rdkit(chem, smiles, ytarget, types)
+    return _smiles_to_graph_builtin(smiles, ytarget, types)
+
+
+def _assemble(symbols, aromatic, sp_flags, num_h, edges, edge_orders,
+              ytarget, types):
+    n = len(symbols)
+    if types is None:
+        uniq = sorted(set(symbols) | {"H"})
+        types = {t: i for i, t in enumerate(uniq)}
+    type_oh = np.zeros((n, len(types)), np.float32)
+    for i, sym in enumerate(symbols):
+        type_oh[i, types[sym]] = 1.0
+    z = np.asarray([SYMBOL_TO_Z[s] for s in symbols], np.float32)
+    x2 = np.stack(
+        [z, np.asarray(aromatic, np.float32)]
+        + [np.asarray(f, np.float32) for f in zip(*sp_flags)]
+        + [np.asarray(num_h, np.float32)],
+        axis=1,
+    )
+    x = np.concatenate([type_oh, x2], axis=1)
+
+    bond_class = {1.0: 0, 2.0: 1, 3.0: 2, 1.5: 3}
+    row, col, etype = [], [], []
+    for (a, b), o in zip(edges, edge_orders):
+        row += [a, b]
+        col += [b, a]
+        etype += 2 * [bond_class[float(o)]]
+    if row:
+        ei = np.asarray([row, col], np.int64)
+        ea = np.eye(4, dtype=np.float32)[np.asarray(etype)]
+        perm = np.argsort(ei[0] * n + ei[1], kind="stable")
+        ei = ei[:, perm]
+        ea = ea[perm]
+    else:
+        ei = np.zeros((2, 0), np.int64)
+        ea = np.zeros((0, 4), np.float32)
+    return GraphSample(
+        x=x,
+        pos=np.zeros((n, 3), np.float32),
+        edge_index=ei,
+        edge_attr=ea,
+        x_raw=x,
+        y_raw=None if ytarget is None else np.asarray(ytarget, np.float32),
+        y_graph=None if ytarget is None else np.asarray(ytarget, np.float32).reshape(-1),
+    )
+
+
+def _smiles_to_graph_builtin(smiles, ytarget, types):
+    atoms = _parse_smiles(smiles)
+    # explicit hydrogens (reference Chem.AddHs)
+    symbols = [a.symbol for a in atoms]
+    arom = [1 if a.aromatic else 0 for a in atoms]
+    sp_flags = [_hybridization(a) for a in atoms]
+    edges, orders = [], []
+    for i, a in enumerate(atoms):
+        for j, o in a.bonds:
+            if j > i:
+                edges.append((i, j))
+                orders.append(o)
+    nh = [_implicit_h(a) for a in atoms]
+    base_n = len(atoms)
+    h_count = 0
+    num_h_feature = list(nh)
+    for i, k in enumerate(nh):
+        for _ in range(k):
+            symbols.append("H")
+            arom.append(0)
+            sp_flags.append((0, 0, 0))
+            num_h_feature.append(0)
+            edges.append((i, base_n + h_count))
+            orders.append(1.0)
+            h_count += 1
+    return _assemble(
+        symbols, arom, sp_flags, num_h_feature, edges, orders, ytarget, types
+    )
+
+
+def _smiles_to_graph_rdkit(chem, smiles, ytarget, types):
+    from rdkit.Chem.rdchem import BondType as BT
+    from rdkit.Chem.rdchem import HybridizationType
+
+    ps = chem.SmilesParserParams()
+    ps.removeHs = False
+    mol = chem.AddHs(chem.MolFromSmiles(smiles, ps))
+    symbols = [a.GetSymbol() for a in mol.GetAtoms()]
+    arom = [1 if a.GetIsAromatic() else 0 for a in mol.GetAtoms()]
+    sp_flags = [
+        (
+            1 if a.GetHybridization() == HybridizationType.SP else 0,
+            1 if a.GetHybridization() == HybridizationType.SP2 else 0,
+            1 if a.GetHybridization() == HybridizationType.SP3 else 0,
+        )
+        for a in mol.GetAtoms()
+    ]
+    bond_o = {BT.SINGLE: 1.0, BT.DOUBLE: 2.0, BT.TRIPLE: 3.0, BT.AROMATIC: 1.5}
+    edges, orders = [], []
+    for b in mol.GetBonds():
+        edges.append((b.GetBeginAtomIdx(), b.GetEndAtomIdx()))
+        orders.append(bond_o[b.GetBondType()])
+    # num_h feature = count of H neighbors per atom
+    nh = [0] * mol.GetNumAtoms()
+    for (a, b), _ in zip(edges, orders):
+        if symbols[b] == "H":
+            nh[a] += 1
+        if symbols[a] == "H":
+            nh[b] += 1
+    return _assemble(symbols, arom, sp_flags, nh, edges, orders, ytarget, types)

@@ -74,6 +74,29 @@ class Visualizer:
         fig.savefig(os.path.join(self.log_dir, "error_histogram.png"), dpi=120)
         plt.close(fig)
 
+    def create_scatter_plots(self, true_values, predicted_values):
+        """2D-histogram density contours of predicted vs true per head
+        (reference Visualizer 2D hist contour plots, visualizer.py)."""
+        plt = self._plt()
+        n = len(true_values)
+        fig, axes = plt.subplots(1, n, figsize=(4 * n, 4), squeeze=False)
+        for i, (t, p) in enumerate(zip(true_values, predicted_values)):
+            t = np.asarray(t).ravel()
+            p = np.asarray(p).ravel()
+            h, xe, ye = np.histogram2d(t, p, bins=40)
+            xc = 0.5 * (xe[:-1] + xe[1:])
+            yc = 0.5 * (ye[:-1] + ye[1:])
+            axes[0][i].contourf(xc, yc, h.T, levels=10, cmap="viridis")
+            lo, hi = float(min(t.min(), p.min())), float(max(t.max(), p.max()))
+            axes[0][i].plot([lo, hi], [lo, hi], "w--", lw=1)
+            name = self.output_names[i] if self.output_names else f"head {i}"
+            axes[0][i].set_title(f"{name} density")
+            axes[0][i].set_xlabel("true")
+            axes[0][i].set_ylabel("predicted")
+        fig.tight_layout()
+        fig.savefig(os.path.join(self.log_dir, "scatter_contour.png"), dpi=120)
+        plt.close(fig)
+
     def plot_history(self, history: List[Dict[str, float]]):
         plt = self._plt()
         fig, ax = plt.subplots(figsize=(5, 4))

@@ -84,3 +84,29 @@ class BestValCheckpoint:
             self.manager.save(epoch, state, extra={"val_loss": float(val_loss)})
             return True
         return False
+
+
+def save_model(log_dir: str, state: TrainState) -> str:
+    """Single versioned final-model save (params + batch stats) — the
+    reference ``save_model`` (model.py:104-187) analogue on orbax, shared
+    with ``run_prediction`` (one serialization path)."""
+    path = os.path.join(os.path.abspath(log_dir), "model")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(
+        path,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        force=True,
+    )
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_model(log_dir: str, state: TrainState) -> TrainState:
+    """Restore a final model saved by :func:`save_model` (the reference
+    ``load_existing_model``, model.py:212-311)."""
+    path = os.path.join(os.path.abspath(log_dir), "model")
+    template = {"params": state.params, "batch_stats": state.batch_stats}
+    restored = ocp.StandardCheckpointer().restore(path, target=template)
+    return state.replace(
+        params=restored["params"], batch_stats=restored["batch_stats"]
+    )

@@ -275,6 +275,13 @@ def train_validate_test(
     t_start = _time.time()
     last_epoch_dur = 0.0
 
+    # Profile config section (reference per-epoch torch.profiler window via
+    # config "Profile", train_validate_test.py:290-292 + profile.py:9-70):
+    # jax.profiler trace of one training epoch -> TensorBoard/xprof
+    profile_cfg = config["NeuralNetwork"].get("Profile", {}) or {}
+    profile_enabled = bool(profile_cfg.get("enable", 0)) and log_dir is not None
+    profile_epoch = int(profile_cfg.get("epoch", 1))
+
     history: List[Dict[str, float]] = []
     for epoch in range(num_epoch):
         if walltime is not None and (
@@ -286,7 +293,15 @@ def train_validate_test(
             if hasattr(loader, "set_epoch"):
                 loader.set_epoch(epoch)
         tracer.start("train")
-        state, train_loss, train_tasks = trainer.run_epoch(state, train_loader)
+        if profile_enabled and epoch == min(profile_epoch, num_epoch - 1):
+            from hydragnn_tpu.utils.tracer import profile_window
+
+            with profile_window(os.path.join(log_dir, "profile")):
+                state, train_loss, train_tasks = trainer.run_epoch(
+                    state, train_loader
+                )
+        else:
+            state, train_loss, train_tasks = trainer.run_epoch(state, train_loader)
         tracer.stop("train")
         tracer.start("validate")
         val_loss, val_tasks = trainer.evaluate(state, val_loader)

@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from hydragnn_tpu.data.container import GraphContainerDataset, GraphContainerWriter
 from hydragnn_tpu.data.lennard_jones import lennard_jones_data
@@ -126,3 +127,57 @@ def test_checkpoint_roundtrip(tmp_path):
     )
     assert all(jax.tree.leaves(same))
     assert int(restored.step) == int(state.step)
+
+
+def test_smiles_builtin_parser_basic_molecules():
+    """Built-in SMILES fallback (reference smiles_utils.py:35-127 feature
+    layout): ethanol, benzene (aromatic ring closure), acetonitrile (triple
+    bond), branching and explicit-bracket atoms."""
+    from hydragnn_tpu.data.smiles import smiles_to_graph
+
+    # ethanol CCO -> 3 heavy + 6 H = 9 atoms, 8 bonds -> 16 directed edges
+    g = smiles_to_graph("CCO", ytarget=np.asarray([1.5]))
+    assert g.num_nodes == 9
+    assert g.num_edges == 16
+    assert g.edge_attr.shape == (16, 4)
+    assert float(g.y_graph[0]) == 1.5
+    # edges sorted by src*N+dst (reference perm sort)
+    key = g.edge_index[0] * g.num_nodes + g.edge_index[1]
+    assert (np.diff(key) >= 0).all()
+
+    # benzene c1ccccc1: 6 aromatic C + 6 H; ring bond count 6 + 6 C-H
+    g = smiles_to_graph("c1ccccc1")
+    assert g.num_nodes == 12
+    assert g.num_edges == 24
+    # aromatic flag on the carbons, aromatic bond class present
+    z_col = len({"C", "H"})  # one-hot width for auto types
+    x = g.x
+    arom_col = z_col + 1
+    assert x[:, arom_col].sum() == 6
+    assert g.edge_attr[:, 3].sum() == 12  # 6 aromatic bonds, both directions
+
+    # acetonitrile CC#N: sp carbon flagged
+    g = smiles_to_graph("CC#N")
+    assert g.num_nodes == 6  # 3 heavy + 3 H
+    sp_col = len({"C", "N", "H"}) + 2
+    assert x.shape[1] >= 6
+
+    # branching + bracket atom with charge
+    g = smiles_to_graph("CC(=O)[O-]")
+    assert g.num_nodes >= 7
+    assert np.isfinite(g.x).all()
+
+    # two-letter halogen
+    g = smiles_to_graph("ClCCl")
+    zs = g.x[:, -6]  # Z column: [one_hot | Z, arom, sp, sp2, sp3, numH]
+    assert (zs == 17).sum() == 2
+
+
+def test_smiles_ring_closure_percent_and_errors():
+    from hydragnn_tpu.data.smiles import smiles_to_graph
+
+    g = smiles_to_graph("C%10CCCCC%10")  # cyclohexane with %nn closure
+    heavy = (g.x[:, -6] == 6).sum()
+    assert heavy == 6
+    with pytest.raises(ValueError):
+        smiles_to_graph("C1CC")  # unclosed ring

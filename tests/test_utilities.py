@@ -154,3 +154,57 @@ def test_y_minmax_denormalize_wiring():
     cfg = update_config(cfg, tr, va, te)
     ymm = cfg["NeuralNetwork"]["Variables_of_interest"]["y_minmax"]
     assert len(ymm) == 1 and ymm[0][1] > ymm[0][0]
+
+
+def test_profile_config_section_writes_trace(tmp_path, monkeypatch):
+    """The config "Profile" section profiles one training epoch via
+    jax.profiler (reference train_validate_test.py:290-292 + profile.py)."""
+    import os
+
+    import hydragnn_tpu
+
+    monkeypatch.chdir(tmp_path)
+    cfg = {
+        "Verbosity": {"level": 0},
+        "Dataset": {
+            "name": "profile_ci", "format": "unit_test", "num_samples": 24,
+            "node_features": {"name": ["x", "x2", "x3"], "dim": [1, 1, 1],
+                              "column_index": [0, 6, 7]},
+            "graph_features": {"name": ["sum"], "dim": [1], "column_index": [0]},
+        },
+        "NeuralNetwork": {
+            "Profile": {"enable": 1, "epoch": 1},
+            "Architecture": {
+                "mpnn_type": "GIN", "radius": 2.0, "max_neighbours": 100,
+                "hidden_dim": 8, "num_conv_layers": 1,
+                "output_heads": {"graph": {"num_sharedlayers": 1,
+                                           "dim_sharedlayers": 4,
+                                           "num_headlayers": 1,
+                                           "dim_headlayers": [8]}},
+                "task_weights": [1.0],
+            },
+            "Variables_of_interest": {
+                "input_node_features": [0], "output_names": ["sum"],
+                "output_index": [0], "type": ["graph"],
+            },
+            "Training": {
+                "num_epoch": 2, "perc_train": 0.7, "loss_function_type": "mse",
+                "batch_size": 8,
+                "Optimizer": {"type": "AdamW", "learning_rate": 1e-3},
+            },
+        },
+    }
+    hydragnn_tpu.run_training(cfg)
+    prof_dirs = [
+        os.path.join(root, d)
+        for root, dirs, _ in os.walk(str(tmp_path))
+        for d in dirs
+        if d == "profile"
+    ]
+    assert prof_dirs, "no profile directory written"
+    found = False
+    for p in prof_dirs:
+        for root, _, files in os.walk(p):
+            if any(f.endswith(".pb") or "trace" in f for f in files):
+                found = True
+    assert found, "no trace artifacts under profile dir"
