@@ -1,0 +1,310 @@
+"""Golden-value tests pinning PyG conv semantics (the per-layer parity
+harness analogue, BASELINE 'allclose per-layer activations'): each conv is
+evaluated on a tiny fixed graph with known weights and compared against an
+INDEPENDENT numpy re-implementation of the PyG formula the reference relies
+on (torch being unavailable here, the golden is the documented math itself,
+computed outside JAX).
+
+Graph: 4 nodes, directed edges (sender->receiver)
+  (0->1) (3->0) (0->2) (1->2) (1->3) (2->3)
+in-degrees [1, 1, 2, 2]; features fixed by a seeded rng.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hydragnn_tpu.data.batching import collate
+from hydragnn_tpu.data.pipeline import sort_edges_by_receiver
+from hydragnn_tpu.data.sample import GraphSample
+
+SRC = np.asarray([3, 0, 0, 1, 1, 2])
+DST = np.asarray([0, 1, 2, 2, 3, 3])
+N, E, F_IN, F_OUT = 4, 6, 3, 2
+
+
+def make_graph(edge_attr_dim=0, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(N, F_IN)).astype(np.float32)
+    s = GraphSample(
+        x=x,
+        pos=rng.normal(size=(N, 3)).astype(np.float32),
+        edge_index=np.stack([SRC, DST]).astype(np.int64),
+        edge_attr=rng.normal(size=(E, edge_attr_dim)).astype(np.float32)
+        if edge_attr_dim
+        else None,
+        y_graph=np.zeros((1,), np.float32),
+    )
+    sort_edges_by_receiver([s])
+    g = collate([s], 8, 8, 2)
+    inv = jnp.asarray(np.pad(np.asarray(s.x), ((0, 8 - N), (0, 0))))
+    ctx = {}
+    if edge_attr_dim:
+        ctx["edge_attr"] = g.edge_attr
+    return g, inv, ctx, s
+
+
+def overridden_apply(conv, g, inv, ctx, override):
+    params = conv.init(jax.random.PRNGKey(0), g, inv, None, ctx)["params"]
+    params = override(jax.tree.map(np.asarray, params))
+    out, _ = conv.apply({"params": params}, g, inv, None, ctx)
+    return np.asarray(out)[:N]
+
+
+def in_edges(i, src, dst):
+    return [k for k in range(len(src)) if dst[k] == i]
+
+
+def test_gin_golden():
+    """PyG GINConv: MLP((1+eps) x_i + sum_j x_j), eps=100."""
+    from hydragnn_tpu.models.invariant import GINConv
+
+    g, inv, ctx, s = make_graph()
+    rng = np.random.default_rng(1)
+    W1 = rng.normal(size=(F_IN, F_OUT)).astype(np.float32)
+    b1 = rng.normal(size=(F_OUT,)).astype(np.float32)
+    W2 = rng.normal(size=(F_OUT, F_OUT)).astype(np.float32)
+    b2 = rng.normal(size=(F_OUT,)).astype(np.float32)
+
+    def override(p):
+        p["eps"] = np.float32(100.0)
+        p["MLP_0"]["dense_0"]["kernel"] = W1
+        p["MLP_0"]["dense_0"]["bias"] = b1
+        p["MLP_0"]["dense_1"]["kernel"] = W2
+        p["MLP_0"]["dense_1"]["bias"] = b2
+        return p
+
+    out = overridden_apply(GINConv(out_dim=F_OUT), g, inv, ctx, override)
+
+    x = np.asarray(s.x)
+    src, dst = s.edge_index
+    h = np.zeros_like(x)
+    for i in range(N):
+        h[i] = 101.0 * x[i] + sum(x[src[k]] for k in in_edges(i, src, dst))
+    expected = np.maximum(h @ W1 + b1, 0.0) @ W2 + b2
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
+
+
+def test_sage_golden():
+    """PyG SAGEConv: W_l mean_j x_j + b + W_r x_i."""
+    from hydragnn_tpu.models.invariant import SAGEConv
+
+    g, inv, ctx, s = make_graph()
+    rng = np.random.default_rng(2)
+    Wl = rng.normal(size=(F_IN, F_OUT)).astype(np.float32)
+    bl = rng.normal(size=(F_OUT,)).astype(np.float32)
+    Wr = rng.normal(size=(F_IN, F_OUT)).astype(np.float32)
+
+    def override(p):
+        p["lin_l"]["kernel"] = Wl
+        p["lin_l"]["bias"] = bl
+        p["lin_r"]["kernel"] = Wr
+        return p
+
+    out = overridden_apply(SAGEConv(out_dim=F_OUT), g, inv, ctx, override)
+
+    x = np.asarray(s.x)
+    src, dst = s.edge_index
+    expected = np.zeros((N, F_OUT), np.float32)
+    for i in range(N):
+        nb = in_edges(i, src, dst)
+        mean = np.mean([x[src[k]] for k in nb], axis=0)
+        expected[i] = mean @ Wl + bl + x[i] @ Wr
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
+
+
+def test_mfc_golden():
+    """PyG MFConv: per-degree weight banks,
+    out = W_nei^{deg} sum_j x_j + W_root^{deg} x_i + b^{deg}."""
+    from hydragnn_tpu.models.invariant import MFCConv
+
+    g, inv, ctx, s = make_graph()
+    max_deg = 3
+    rng = np.random.default_rng(3)
+    Wn = rng.normal(size=(max_deg + 1, F_IN, F_OUT)).astype(np.float32)
+    Wr = rng.normal(size=(max_deg + 1, F_IN, F_OUT)).astype(np.float32)
+    b = rng.normal(size=(max_deg + 1, F_OUT)).astype(np.float32)
+
+    def override(p):
+        p["w_nei"] = Wn
+        p["w_root"] = Wr
+        p["bias"] = b
+        return p
+
+    out = overridden_apply(
+        MFCConv(in_dim=F_IN, out_dim=F_OUT, max_degree=max_deg),
+        g, inv, ctx, override,
+    )
+
+    x = np.asarray(s.x)
+    src, dst = s.edge_index
+    expected = np.zeros((N, F_OUT), np.float32)
+    for i in range(N):
+        nb = in_edges(i, src, dst)
+        d = min(len(nb), max_deg)
+        agg = np.sum([x[src[k]] for k in nb], axis=0)
+        expected[i] = agg @ Wn[d] + x[i] @ Wr[d] + b[d]
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
+
+
+def test_cgcnn_golden():
+    """PyG CGConv (aggr=add): x_i + sum_j sigmoid(z W_f + b_f) *
+    softplus(z W_s + b_s), z = [x_i, x_j, e_ij]."""
+    from hydragnn_tpu.models.invariant import CGConv
+
+    EA = 2
+    g, inv, ctx, s = make_graph(edge_attr_dim=EA)
+    rng = np.random.default_rng(4)
+    C = F_IN
+    Wfi = rng.normal(size=(C, C)).astype(np.float32)
+    bf = rng.normal(size=(C,)).astype(np.float32)
+    Wfj = rng.normal(size=(C, C)).astype(np.float32)
+    Wsi = rng.normal(size=(C, C)).astype(np.float32)
+    bs = rng.normal(size=(C,)).astype(np.float32)
+    Wsj = rng.normal(size=(C, C)).astype(np.float32)
+    Wfe = rng.normal(size=(EA, C)).astype(np.float32)
+    Wse = rng.normal(size=(EA, C)).astype(np.float32)
+
+    def override(p):
+        p["lin_f_i"]["kernel"] = Wfi
+        p["lin_f_i"]["bias"] = bf
+        p["lin_f_j"]["kernel"] = Wfj
+        p["lin_s_i"]["kernel"] = Wsi
+        p["lin_s_i"]["bias"] = bs
+        p["lin_s_j"]["kernel"] = Wsj
+        p["lin_f_e"]["kernel"] = Wfe
+        p["lin_s_e"]["kernel"] = Wse
+        return p
+
+    out = overridden_apply(CGConv(channels=C), g, inv, ctx, override)
+
+    x = np.asarray(s.x)
+    ea_sorted = np.asarray(s.edge_attr)
+    src, dst = s.edge_index
+
+    def sigmoid(v):
+        return 1.0 / (1.0 + np.exp(-v))
+
+    def softplus(v):
+        return np.log1p(np.exp(v))
+
+    expected = x.copy()
+    for k in range(E):
+        i, j = dst[k], src[k]
+        zf = x[i] @ Wfi + bf + x[j] @ Wfj + ea_sorted[k] @ Wfe
+        zs = x[i] @ Wsi + bs + x[j] @ Wsj + ea_sorted[k] @ Wse
+        expected[i] += sigmoid(zf) * softplus(zs)
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-5)
+
+
+def test_pna_golden():
+    """PyG PNAConv (towers=1, pre/post_layers=1, divide_input=False):
+    h_ij = pre_nn([x_i, x_j]); aggregators [mean, min, max, std];
+    scalers [identity, amplification, attenuation, linear];
+    out = lin(post_nn([x_i, scaled]))."""
+    from hydragnn_tpu.models.invariant import PNAConv, pna_degree_stats
+
+    g, inv, ctx, s = make_graph()
+    deg_hist = np.bincount([1, 1, 2, 2])  # the graph's own in-degrees
+    stats = pna_degree_stats(deg_hist)
+    rng = np.random.default_rng(5)
+    Wi = rng.normal(size=(F_IN, F_IN)).astype(np.float32)
+    bi = rng.normal(size=(F_IN,)).astype(np.float32)
+    Wj = rng.normal(size=(F_IN, F_IN)).astype(np.float32)
+    Wpost = rng.normal(size=(F_IN + 4 * 4 * F_IN, F_OUT)).astype(np.float32)
+    bpost = rng.normal(size=(F_OUT,)).astype(np.float32)
+    Wlin = rng.normal(size=(F_OUT, F_OUT)).astype(np.float32)
+    blin = rng.normal(size=(F_OUT,)).astype(np.float32)
+
+    def override(p):
+        p["pre_nn_i"]["kernel"] = Wi
+        p["pre_nn_i"]["bias"] = bi
+        p["pre_nn_j"]["kernel"] = Wj
+        p["post_nn"]["kernel"] = Wpost
+        p["post_nn"]["bias"] = bpost
+        p["lin"]["kernel"] = Wlin
+        p["lin"]["bias"] = blin
+        return p
+
+    conv = PNAConv(
+        in_dim=F_IN, out_dim=F_OUT,
+        avg_deg_lin=stats["lin"], avg_deg_log=stats["log"],
+    )
+    out = overridden_apply(conv, g, inv, ctx, override)
+
+    x = np.asarray(s.x)
+    src, dst = s.edge_index
+    expected = np.zeros((N, F_OUT), np.float32)
+    for i in range(N):
+        nb = in_edges(i, src, dst)
+        H = np.stack([x[i] @ Wi + bi + x[src[k]] @ Wj for k in nb])
+        mean = H.mean(0)
+        mn = H.min(0)
+        mx = H.max(0)
+        std = np.sqrt(np.maximum(np.mean(H * H, 0) - mean * mean, 0.0) + 1e-5)
+        aggs = np.concatenate([mean, mn, mx, std])
+        d = float(len(nb))
+        amp = np.log(d + 1.0) / stats["log"]
+        att = stats["log"] / np.log(d + 1.0)
+        lin_s = d / stats["lin"]
+        scaled = np.concatenate([aggs, aggs * amp, aggs * att, aggs * lin_s])
+        z = np.concatenate([x[i], scaled])
+        expected[i] = (z @ Wpost + bpost) @ Wlin + blin
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_gatv2_golden():
+    """PyG GATv2Conv (heads=2, concat, add_self_loops, slope 0.05):
+    alpha = softmax over {in-edges, self-loop} of a^T leaky_relu(
+    W_l x_j + W_r x_i); out_i = sum alpha_ij W_l x_j (+ self term) + bias."""
+    from hydragnn_tpu.models.invariant import GATv2Conv
+
+    g, inv, ctx, s = make_graph()
+    H, F = 2, 2
+    rng = np.random.default_rng(6)
+    Wl = rng.normal(size=(F_IN, H * F)).astype(np.float32)
+    bWl = rng.normal(size=(H * F,)).astype(np.float32)
+    Wr = rng.normal(size=(F_IN, H * F)).astype(np.float32)
+    att = rng.normal(size=(H, F)).astype(np.float32)
+    bias = rng.normal(size=(H * F,)).astype(np.float32)
+
+    def override(p):
+        p["lin_l"]["kernel"] = Wl
+        p["lin_l"]["bias"] = bWl
+        p["lin_r"]["kernel"] = Wr
+        p["att"] = att[None]  # module stores [1, H, F]
+        p["bias"] = bias
+        return p
+
+    conv = GATv2Conv(
+        out_dim=F, heads=H, negative_slope=0.05, dropout=0.0, concat=True
+    )
+    out = overridden_apply(conv, g, inv, ctx, override)
+
+    x = np.asarray(s.x)
+    src, dst = s.edge_index
+    xl = (x @ Wl + bWl).reshape(N, H, F)
+    xr = (x @ Wr).reshape(N, H, F)
+
+    def lrelu(v):
+        return np.where(v > 0, v, 0.05 * v)
+
+    expected = np.zeros((N, H * F), np.float32)
+    for i in range(N):
+        nb = in_edges(i, src, dst)
+        cand = [(xl[src[k]], xl[src[k]] + xr[i]) for k in nb]
+        cand.append((xl[i], xl[i] + xr[i]))  # self loop
+        per_head = []
+        for h in range(H):
+            logits = np.asarray(
+                [np.sum(lrelu(pre[h]) * att[h]) for _, pre in cand]
+            )
+            a = np.exp(logits - logits.max())
+            a = a / a.sum()
+            per_head.append(
+                np.sum([a[m] * cand[m][0][h] for m in range(len(cand))], axis=0)
+            )
+        expected[i] = np.concatenate(per_head) + bias
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-4)
