@@ -24,11 +24,16 @@ from hydragnn_tpu.graphs import GraphBatch
 from hydragnn_tpu.models.base import MaskedBatchNorm
 
 
-def _mha(x, attn_mask, channels: int, heads: int):
-    """Hand-rolled multi-head self-attention (torch.nn.MultiheadAttention
-    semantics: in/out projections with bias).  Plain einsums so XLA compiles
-    it quickly; swappable for the Pallas flash-attention kernel on large
-    node counts.  Must be called from inside a compact ``__call__``."""
+def _mha(x, node_mask, node_graph, per_graph, channels: int, heads: int):
+    """Multi-head self-attention (torch.nn.MultiheadAttention semantics:
+    in/out projections with bias).  On TPU with 128-aligned node budgets it
+    runs the Pallas FlashAttention kernel (tiled online-softmax, never
+    materializing the [H, N, N] score tensor that dominates HBM at large
+    batches); segment ids express both the whole-batch reference quirk
+    (all real nodes share one segment) and the per-graph block-diagonal
+    mode (segment = graph id), with padding fenced into its own segment.
+    Elsewhere it falls back to plain einsums, which XLA compiles quickly.
+    Must be called from inside a compact ``__call__``."""
     N = x.shape[0]
     D = channels // heads
     qkv = nn.Dense(3 * channels, name="attn_in_proj")(x)
@@ -36,11 +41,51 @@ def _mha(x, attn_mask, channels: int, heads: int):
     q = q.reshape(N, heads, D)
     k = k.reshape(N, heads, D)
     v = v.reshape(N, heads, D)
-    scores = jnp.einsum("nhd,mhd->hnm", q, k) / jnp.sqrt(jnp.asarray(D, x.dtype))
-    neg = jnp.asarray(jnp.finfo(x.dtype).min, x.dtype)
-    scores = jnp.where(attn_mask[None], scores, neg)
-    att = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("hnm,mhd->nhd", att, v).reshape(N, channels)
+
+    use_flash = (
+        jax.default_backend() == "tpu"
+        and N % 128 == 0
+        and x.dtype in (jnp.float32, jnp.bfloat16)
+    )
+    if use_flash:
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            SegmentIds,
+            flash_attention,
+        )
+
+        Dp = max(128, -(-D // 128) * 128)
+        pad = [(0, 0), (0, 0), (0, 0), (0, Dp - D)]
+        qt = jnp.pad(q, pad[1:]).swapaxes(0, 1)[None]  # [1, H, N, Dp]
+        kt = jnp.pad(k, pad[1:]).swapaxes(0, 1)[None]
+        vt = jnp.pad(v, pad[1:]).swapaxes(0, 1)[None]
+        # zero-padded head dims leave q.k^T and the real v columns unchanged
+        seg = jnp.where(
+            node_mask,
+            node_graph if per_graph else jnp.zeros_like(node_graph),
+            jnp.full_like(node_graph, jnp.iinfo(jnp.int32).max),
+        )[None].astype(jnp.int32)
+        out = flash_attention(
+            qt, kt, vt,
+            segment_ids=SegmentIds(q=seg, kv=seg),
+            sm_scale=float(D) ** -0.5,
+        )
+        out = out[0, :, :, :D].swapaxes(0, 1).reshape(N, channels)
+    else:
+        if per_graph:
+            attn_mask = (
+                (node_graph[:, None] == node_graph[None, :])
+                & node_mask[None, :]
+                & node_mask[:, None]
+            )
+        else:
+            attn_mask = jnp.broadcast_to(node_mask[None, :], (N, N))
+        scores = jnp.einsum("nhd,mhd->hnm", q, k) / jnp.sqrt(
+            jnp.asarray(D, x.dtype)
+        )
+        neg = jnp.asarray(jnp.finfo(x.dtype).min, x.dtype)
+        scores = jnp.where(attn_mask[None], scores, neg)
+        att = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("hnm,mhd->nhd", att, v).reshape(N, channels)
     return nn.Dense(channels, name="attn_out_proj")(out)
 
 
@@ -167,16 +212,10 @@ class GPSConv(nn.Module):
                 C, self.heads, self.head_channels, self.per_graph,
             )
         else:
-            if self.per_graph:
-                same = graph.node_graph[:, None] == graph.node_graph[None, :]
-                attn_mask = (
-                    same & graph.node_mask[None, :] & graph.node_mask[:, None]
-                )
-            else:
-                attn_mask = jnp.broadcast_to(
-                    graph.node_mask[None, :], (graph.n_node, graph.n_node)
-                )
-            h = _mha(inv, attn_mask, C, self.heads)
+            h = _mha(
+                inv, graph.node_mask, graph.node_graph, self.per_graph,
+                C, self.heads,
+            )
         h = drop(h, "d2")
         h = h + inv
         h = MaskedBatchNorm(C, name="norm2", axis_name=self.bn_axis)(

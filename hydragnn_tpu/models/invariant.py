@@ -207,14 +207,10 @@ class PNAConv(nn.Module):
         )
         mean1, mean2 = jnp.split(m12, 2, axis=-1)
         std = jnp.sqrt(jax.nn.relu(mean2 - mean1 * mean1) + 1e-5)
-        from hydragnn_tpu.ops.aggregate import segment_extreme
+        from hydragnn_tpu.ops.aggregate import segment_minmax
 
-        aggs = [
-            mean1,
-            segment_extreme(graph, h, "min"),
-            segment_extreme(graph, h, "max"),
-            std,
-        ]
+        mn, mx = segment_minmax(graph, h)  # one HBM pass for both extrema
+        aggs = [mean1, mn, mx, std]
         out = jnp.concatenate(aggs, axis=-1)  # [N, 4*in]
 
         if graph.rcv_count is not None:

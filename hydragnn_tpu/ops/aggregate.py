@@ -158,14 +158,21 @@ def gather_nodes(graph: GraphBatch, x: jnp.ndarray, at: str = "senders"):
     )
 
 
-def segment_extreme(graph: GraphBatch, data: jnp.ndarray, op: str = "max"):
-    """Masked segment max/min at receivers with a scatter-free backward:
-    cotangents flow to extremal edges (split evenly among ties), computed
-    with compares + the Pallas sum — no scatter in the VJP."""
-    assert op in ("max", "min")
-    from hydragnn_tpu.ops.segment import segment_max, segment_min
+def segment_minmax(graph: GraphBatch, data: jnp.ndarray):
+    """(min, max) masked segment extrema at receivers in ONE pass over the
+    edge data (the op is HBM-bound; PNA needs both), with a scatter-free
+    backward: cotangents flow to extremal edges (split evenly among ties),
+    tie counts computed with compares + the Pallas sum — no scatter
+    anywhere.  The Pallas forward's end-select is exact (bf16 direct, fp32
+    3-way split), so the d == out[receivers] comparison holds bitwise.
 
-    fn = segment_max if op == "max" else segment_min
+    Tie semantics: exact ties (only duplicate PBC image edges in practice)
+    split the cotangent evenly — the textbook subgradient, matching numpy
+    ground truth and the manual composition of jax's own segment-op VJPs.
+    jax's fused gather+scatter-extremal AD picks a different (also valid)
+    subgradient at such ties, so grads may differ from the XLA fallback
+    path at tied entries; both are correct."""
+    from hydragnn_tpu.ops.segment import segment_max, segment_min
 
     use_pallas = (
         graph.agg_meta is not None
@@ -175,31 +182,39 @@ def segment_extreme(graph: GraphBatch, data: jnp.ndarray, op: str = "max"):
         and jax.default_backend() == "tpu"
     )
     if not use_pallas:
-        return fn(
-            data,
-            graph.receivers,
-            graph.n_node,
-            mask=graph.edge_mask,
-            indices_are_sorted=graph.edges_sorted,
+        kw = dict(
+            mask=graph.edge_mask, indices_are_sorted=graph.edges_sorted
+        )
+        return (
+            segment_min(data, graph.receivers, graph.n_node, **kw),
+            segment_max(data, graph.receivers, graph.n_node, **kw),
         )
 
     @jax.custom_vjp
-    def _ext(d):
-        return fn(
-            d, graph.receivers, graph.n_node, mask=graph.edge_mask,
-            indices_are_sorted=graph.edges_sorted,
+    def _mm(d):
+        from hydragnn_tpu.ops.pallas_segment import segment_minmax_pallas_raw
+
+        out = segment_minmax_pallas_raw(
+            d, graph.agg_rcv_off, graph.agg_rcv_nb, graph.agg_rcv_sid,
+            graph.n_node, graph.agg_meta,
         )
+        return out[:, 1, :], out[:, 0, :]
 
     def _fwd(d):
-        out = _ext(d)
+        out = _mm(d)
         return out, (d, out)
 
     def _bwd(res, g):
-        d, out = res
-        sel = (d == out[graph.receivers]) & graph.edge_mask[:, None]
-        self_f = sel.astype(d.dtype)
+        d, (mn, mx) = res
+        g_mn, g_mx = g
+        em = graph.edge_mask[:, None]
+        sel_mn = (d == mn[graph.receivers]) & em
+        sel_mx = (d == mx[graph.receivers]) & em
+        # both tie counts in one Pallas sum pass (concat on features)
         ties = _pallas_segsum(
-            self_f,
+            jnp.concatenate(
+                [sel_mn.astype(d.dtype), sel_mx.astype(d.dtype)], axis=-1
+            ),
             graph.agg_rcv_off,
             graph.agg_rcv_nb,
             graph.agg_rcv_sid,
@@ -208,13 +223,23 @@ def segment_extreme(graph: GraphBatch, data: jnp.ndarray, op: str = "max"):
             graph.n_node,
             graph.agg_meta,
         )
+        t_mn, t_mx = jnp.split(ties, 2, axis=-1)
         gd = jnp.where(
-            sel, g[graph.receivers] / jnp.maximum(ties, 1.0)[graph.receivers], 0.0
+            sel_mn, g_mn[graph.receivers] / jnp.maximum(t_mn, 1.0)[graph.receivers], 0.0
+        ) + jnp.where(
+            sel_mx, g_mx[graph.receivers] / jnp.maximum(t_mx, 1.0)[graph.receivers], 0.0
         )
         return (gd,)
 
-    _ext.defvjp(_fwd, _bwd)
-    return _ext(data)
+    _mm.defvjp(_fwd, _bwd)
+    return _mm(data)
+
+
+def segment_extreme(graph: GraphBatch, data: jnp.ndarray, op: str = "max"):
+    """Masked segment max/min at receivers (see :func:`segment_minmax`)."""
+    assert op in ("max", "min")
+    mn, mx = segment_minmax(graph, data)
+    return mx if op == "max" else mn
 
 
 def aggregate(

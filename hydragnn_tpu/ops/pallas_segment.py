@@ -222,3 +222,188 @@ def segment_sum_pallas_raw(
         out_shape=jax.ShapeDtypeStruct((n_node, F), data.dtype),
     )(block_offsets, nblocks, sid_all, data)
     return out
+
+
+def segment_minmax_pallas_raw(
+    data: jnp.ndarray,  # [E, F] edge values (sorted by receiver)
+    block_offsets: jnp.ndarray,  # [T, MB] int32
+    nblocks: jnp.ndarray,  # [T] int32
+    sid_all: jnp.ndarray,  # [T, MB, TE] int32 (-1 = invalid row)
+    n_node: int,
+    meta: Tuple[int, int, int],  # (TN, TE, MB)
+    tile_features: int = 256,
+    empty_value: float = 0.0,
+) -> jnp.ndarray:
+    """Masked sorted-segment MAX and MIN in one pass, no scatters.
+    Returns [n_node, 2, F]: [:, 0] = max, [:, 1] = min (the kernel
+    writes a 2-D (TN, 2*TF) block per tile; rank-3 blocks with a size-2
+    sublane dim stall Mosaic).
+
+    Per edge block: segmented Hillis-Steele inclusive max/min scans along
+    the (receiver-sorted) edge rows — log2(TE) vectorized shift+select
+    steps in VMEM — leave each within-block segment's extremum at the
+    segment's LAST row; a one-hot matmul selects those end rows onto the
+    [TN] output rows.  The select is EXACT: bf16 values directly, fp32 via
+    a 3-way bf16 split (hi + mid + lo covers all 24 mantissa bits, and the
+    single-term sum reassembles them exactly), so the scatter-free VJP's
+    d == out[receivers] comparison holds bitwise.  Blocks combine by
+    elementwise max/min gated on the receiver having an end row in the
+    block.  Same plan/DMA pipeline as the sum kernel; both extrema share
+    one read of the edge data (the op is HBM-bound).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    E, F = data.shape
+    TN, TE, MB = meta
+    n_tiles = (n_node + TN - 1) // TN
+    TF = max(
+        (t for t in (tile_features, 256, 128) if F % t == 0), default=None
+    )
+    assert TF is not None, f"F={F} must be a multiple of 128"
+    assert n_node % TN == 0
+    data = jnp.concatenate([data, jnp.zeros((TE,) + data.shape[1:], data.dtype)])
+    BIG = 3.0e38  # finite +/-inf sentinel (safe in fp32 arithmetic)
+
+    def kernel(off_ref, nb_ref, sid_ref, x_hbm, o_ref, xs, sem_x):
+        f = pl.program_id(0)
+        t = pl.program_id(1)
+        nb = nb_ref[t]
+
+        def dma(bb, slot):
+            start = pl.multiple_of(off_ref[t, bb], 8)
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(start, TE), pl.ds(f * TF, TF)],
+                xs.at[slot],
+                sem_x.at[slot],
+            )
+
+        o_ref[:] = jnp.full_like(o_ref, empty_value)
+
+        @pl.when(nb > 0)
+        def _run():
+            dma(0, 0).start()
+
+            def dot(a, v):
+                return jax.lax.dot_general(
+                    a, v,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            def select_ends(onehot, vals):
+                """Exact one-hot select of end-row values."""
+                if data.dtype == jnp.bfloat16:
+                    return dot(onehot, vals)
+                hi = vals.astype(jnp.bfloat16).astype(jnp.float32)
+                rem = vals - hi
+                mid = rem.astype(jnp.bfloat16).astype(jnp.float32)
+                lo = rem - mid
+                return dot(onehot, hi) + dot(onehot, mid) + dot(onehot, lo)
+
+            def body(b, accs):
+                acc_mx, acc_mn = accs
+
+                @pl.when(b + 1 < nb)
+                def _prefetch():
+                    dma(b + 1, (b + 1) % 2).start()
+
+                dma(b, b % 2).wait()
+                sid = sid_ref[0, pl.ds(b, 1), :]  # [1, TE] (lanes)
+                row_ids = jax.lax.broadcasted_iota(jnp.int32, (TN, TE), 0)
+                onehot = (row_ids == sid).astype(jnp.float32)
+                # the column (sublane) copy of sid WITHOUT a transpose
+                # (Mosaic can't reshape (1,TE)->(TE,1)): contract the
+                # one-hot over its node axis against (row index + 1)
+                rows1 = (
+                    jax.lax.broadcasted_iota(jnp.int32, (TN, 1), 0) + 1
+                ).astype(jnp.float32)
+                sid_col = (
+                    jax.lax.dot_general(
+                        onehot, rows1,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    - 1.0
+                )  # [TE, 1]; -1 where the edge row is invalid/out-of-tile
+                valid = sid_col >= 0.0
+
+                x = xs[b % 2].astype(jnp.float32)
+                xmx = jnp.where(valid, x, -BIG)
+                xmn = jnp.where(valid, x, BIG)
+
+                # segmented inclusive scans over rows (static shifts)
+                s = 1
+                while s < TE:
+                    pad_sid = jnp.full((s, 1), -2.0, jnp.float32)
+                    sid_shift = jnp.concatenate([pad_sid, sid_col[:-s]], 0)
+                    same = (sid_shift == sid_col) & valid
+                    sh_mx = jnp.concatenate(
+                        [jnp.full((s, TF), -BIG, jnp.float32), xmx[:-s]], 0
+                    )
+                    xmx = jnp.maximum(xmx, jnp.where(same, sh_mx, -BIG))
+                    sh_mn = jnp.concatenate(
+                        [jnp.full((s, TF), BIG, jnp.float32), xmn[:-s]], 0
+                    )
+                    xmn = jnp.minimum(xmn, jnp.where(same, sh_mn, BIG))
+                    s *= 2
+
+                # within-block segment ends (column form)
+                sid_next = jnp.concatenate(
+                    [sid_col[1:], jnp.full((1, 1), -3.0, jnp.float32)], 0
+                )
+                end_col = (sid_col != sid_next) & valid  # [TE, 1]
+                # only end rows carry nonzero values; the one-hot matmul
+                # then sums exactly one term per (receiver, block)
+                mx_out = select_ends(onehot, jnp.where(end_col, xmx, 0.0))
+                mn_out = select_ends(onehot, jnp.where(end_col, xmn, 0.0))
+                has = dot(onehot, end_col.astype(jnp.float32)) > 0.5  # [TN,1]
+                return (
+                    jnp.where(has, jnp.maximum(acc_mx, mx_out), acc_mx),
+                    jnp.where(has, jnp.minimum(acc_mn, mn_out), acc_mn),
+                )
+
+            acc_mx, acc_mn = jax.lax.fori_loop(
+                0, nb, body,
+                (
+                    jnp.full((TN, TF), -BIG, jnp.float32),
+                    jnp.full((TN, TF), BIG, jnp.float32),
+                ),
+            )
+            o_ref[:, :TF] = jnp.where(
+                acc_mx > -BIG / 2, acc_mx, jnp.asarray(empty_value, jnp.float32)
+            ).astype(o_ref.dtype)
+            o_ref[:, TF:] = jnp.where(
+                acc_mn < BIG / 2, acc_mn, jnp.asarray(empty_value, jnp.float32)
+            ).astype(o_ref.dtype)
+
+    grid = (F // TF, n_tiles)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, MB, TE), lambda f, t, off, nb: (t, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (TN, 2 * TF), lambda f, t, off, nb: (t, f)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, TE, TF), data.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        # packed [N, (F//TF) * 2TF]: per feature tile, TF max cols then
+        # TF min cols; unpacked to [N, 2, F] below
+        out_shape=jax.ShapeDtypeStruct((n_node, 2 * F), data.dtype),
+    )(block_offsets, nblocks, sid_all, data)
+    packed = out.reshape(n_node, F // TF, 2, TF)
+    return jnp.stack(
+        [
+            packed[:, :, 0, :].reshape(n_node, F),
+            packed[:, :, 1, :].reshape(n_node, F),
+        ],
+        axis=1,
+    )

@@ -2,6 +2,10 @@
 paths run on one host (the analogue of the reference CI's
 ``mpirun -n 2 pytest --with-mpi``, CI.yml:60-69).
 
+Set ``HYDRAGNN_TPU_TEST_BACKEND=tpu`` to instead run on the real chip
+(enables the ``test_pallas_tpu.py`` kernel tests; everything else still
+passes but is slow through the tunnel — prefer ``-k pallas``).
+
 NOTE: this environment ships an 'axon' TPU PJRT plugin registered from a
 sitecustomize for EVERY python process; env vars (`JAX_PLATFORMS`,
 `JAX_PLATFORM_NAME`) do NOT override it any more -- only
@@ -10,16 +14,20 @@ works.
 """
 
 import os
+import sys
 
-os.environ["JAX_PLATFORM_NAME"] = "cpu"
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
+if os.environ.get("HYDRAGNN_TPU_TEST_BACKEND", "cpu") != "tpu":
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
-jax.config.update("jax_platforms", "cpu")
-assert jax.default_backend() == "cpu", "axon plugin override failed"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.default_backend() == "cpu", "axon plugin override failed"

@@ -1,5 +1,13 @@
 """Pallas kernel tests -- run only on a real TPU backend (the CPU test env
-exercises the XLA fallbacks; the driver's bench exercises this path)."""
+exercises the XLA fallbacks; the driver's bench exercises this path).
+
+Run with ``HYDRAGNN_TPU_TEST_BACKEND=tpu``.  Known axon-tunnel quirk: the
+single-client TPU worker can crash ("UNAVAILABLE: TPU worker process
+crashed") when a SECOND unrelated test in the same process dispatches a
+new kernel; every test here passes standalone (verified 2026-08-17 — the
+batch-training test fails as a follower after ANY predecessor, including
+the stock jax flash kernel, but passes alone).  Prefer one test per
+process on the tunnel: ``pytest tests/test_pallas_tpu.py::<name>``."""
 
 import numpy as np
 import pytest
@@ -38,6 +46,85 @@ def test_pallas_segment_sum_matches_xla():
         N,
     )
     assert float(jnp.abs(out - ref).max()) < 1e-3
+
+
+def test_pallas_segment_minmax_exact_and_grad():
+    """Fused min+max kernel: forward bitwise-exact vs the XLA segment ops;
+    backward matches the numpy even-tie-split subgradient (see
+    ops/aggregate.py segment_minmax docstring for the tie semantics)."""
+    import jax.numpy as jnp
+
+    from bench import build_bench_batch
+    from hydragnn_tpu.ops.aggregate import gather_nodes, segment_minmax
+    from hydragnn_tpu.ops.segment import segment_max, segment_min
+
+    batch = build_bench_batch(n_graphs=4)
+    N = batch.node_mask.shape[0]
+    F = 256
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(N, F)).astype(np.float32))
+
+    def mm(v):
+        h = gather_nodes(batch, v, "senders")
+        return segment_minmax(batch, h)
+
+    mn, mx = jax.jit(mm)(x)
+    h = x[batch.senders]
+    kw = dict(mask=batch.edge_mask, indices_are_sorted=True)
+    assert bool(jnp.all(mx == segment_max(h, batch.receivers, N, **kw)))
+    assert bool(jnp.all(mn == segment_min(h, batch.receivers, N, **kw)))
+
+    def loss(v):
+        a, b = mm(v)
+        return jnp.sum(a * 0.3 + b * 0.7)
+
+    g = np.asarray(jax.jit(jax.grad(loss))(x))
+    # numpy even-tie-split reference
+    snd = np.asarray(batch.senders)
+    rcv = np.asarray(batch.receivers)
+    em = np.asarray(batch.edge_mask)
+    hn = np.asarray(h)
+    gd = np.zeros_like(hn)
+    for r in np.unique(rcv[em]):
+        e = np.where((rcv == r) & em)[0]
+        vals = hn[e]
+        smn = vals == vals.min(0)
+        smx = vals == vals.max(0)
+        gd[e] += 0.3 * smn / smn.sum(0) + 0.7 * smx / smx.sum(0)
+    ref = np.zeros((N, F), np.float32)
+    np.add.at(ref, snd[em], gd[em])
+    assert np.abs(g - ref).max() < 1e-3
+
+
+@pytest.mark.parametrize("per_graph", [False, True])
+def test_flash_attention_matches_dense(per_graph, monkeypatch):
+    """GPS _mha flash path (Pallas FlashAttention + segment ids) vs the
+    dense einsum fallback, same params, both attention modes."""
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from hydragnn_tpu.models import gps as gps_mod
+
+    N, C, H = 256, 128, 4
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(N, C)).astype(np.float32))
+    node_mask = jnp.asarray(np.arange(N) < 200)
+    node_graph = jnp.asarray(np.minimum(np.arange(N) // 100, 1).astype(np.int32))
+
+    class Wrap(nn.Module):
+        @nn.compact
+        def __call__(self, v):
+            return gps_mod._mha(v, node_mask, node_graph, per_graph, C, H)
+
+    m = Wrap()
+    params = m.init(jax.random.PRNGKey(0), x)
+    flash = m.apply(params, x)
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    dense = m.apply(params, x)
+    err = float(
+        jnp.abs((flash - dense) * node_mask[:, None]).max()
+    )
+    assert err < 2e-2  # bf16 matmul rounding on the dense path
 
 
 def test_pallas_batch_training_matches_plain():
