@@ -40,7 +40,9 @@ def build_bench_batch(
         n = nodes_per_graph
         pos = rng.uniform(0, 10, (n, 3)).astype(np.float32)
         senders = np.repeat(np.arange(n), avg_degree)
-        receivers = rng.integers(0, n, n * avg_degree)
+        # no self-loops: zero-distance edges NaN the force (grad-of-grad)
+        # path, and radius graphs never produce them
+        receivers = (senders + rng.integers(1, n, n * avg_degree)) % n
         x = rng.normal(size=(n, 1)).astype(np.float32)
         y_graph = np.asarray([rng.normal()], np.float32)
         y_node = rng.normal(size=(n, 3)).astype(np.float32)

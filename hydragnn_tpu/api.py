@@ -169,7 +169,22 @@ def _build_datasets(config: Dict):
                 )
             else:
                 s.edge_index = radius_graph(s.pos, radius, max_nb)
-    if arch.get("edge_features"):
+    desc = ds_cfg.get("Descriptors", {})
+    if desc.get("SphericalCoordinates") and desc.get("PointPairFeatures"):
+        # both transforms embed the distance; the reference rejects the
+        # combination outright (abstractrawdataset.py:124-131)
+        raise ValueError(
+            "SphericalCoordinates and PointPairFeatures cannot be combined"
+        )
+    if desc.get("SphericalCoordinates"):
+        from hydragnn_tpu.data.radius_graph import add_spherical_coordinates
+
+        add_spherical_coordinates(samples)
+    elif desc.get("PointPairFeatures"):
+        from hydragnn_tpu.data.radius_graph import add_point_pair_features
+
+        add_point_pair_features(samples)
+    elif arch.get("edge_features"):
         assert list(arch["edge_features"]) == ["lengths"], "only lengths supported"
         if samples[0].edge_attr is None:
             add_edge_lengths(samples)

@@ -162,9 +162,16 @@ def update_config(
     arch.setdefault("enable_interatomic_potential", False)
     arch.setdefault("periodic_boundary_conditions", False)
 
-    # edge_dim rules (config_utils.py:179-206)
+    # edge_dim rules (config_utils.py:179-206); Dataset.Descriptors
+    # transforms replace edge_attr with a fixed-width feature set
+    # (abstractrawdataset.py:133-137), so they fix edge_dim directly
     arch["edge_dim"] = None
-    if arch.get("edge_features"):
+    desc = config.get("Dataset", {}).get("Descriptors", {})
+    if desc.get("SphericalCoordinates"):
+        arch["edge_dim"] = 3
+    elif desc.get("PointPairFeatures"):
+        arch["edge_dim"] = 4
+    elif arch.get("edge_features"):
         assert mpnn in EDGE_MODELS, (
             "Edge features can only be used with " + ", ".join(EDGE_MODELS)
         )

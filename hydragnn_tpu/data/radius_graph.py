@@ -73,6 +73,39 @@ def add_spherical_coordinates(samples: List[GraphSample]) -> None:
         s.edge_attr = np.stack([rho, theta, phi], axis=-1).astype(np.float32)
 
 
+def add_point_pair_features(samples: List[GraphSample]) -> None:
+    """PyG ``PointPairFeatures(cat=False)`` analogue (reference
+    ``abstractrawdataset.py:137``): edge_attr = the 4 rotation-invariant
+    point-pair features (Rusu et al. PPF)
+
+        [ ||d||, angle(n_i, d), angle(n_j, d), angle(n_i, n_j) ]
+
+    with angle(a, b) = atan2(||a x b||, a.b).  Requires per-node normals
+    in ``sample.norm`` [n, 3] (PyG's ``data.norm`` requirement)."""
+    for s in samples:
+        if s.norm is None:
+            raise ValueError(
+                "PointPairFeatures requires per-node normals (sample.norm)"
+            )
+        snd, rcv = s.edge_index[0], s.edge_index[1]
+        d = s.pos[rcv] - s.pos[snd]
+        if s.edge_shifts is not None:
+            d = d + s.edge_shifts
+        n_i, n_j = s.norm[snd], s.norm[rcv]
+
+        def angle(a, b):
+            return np.arctan2(
+                np.linalg.norm(np.cross(a, b), axis=-1),
+                np.sum(a * b, axis=-1),
+            )
+
+        s.edge_attr = np.stack(
+            [np.linalg.norm(d, axis=-1), angle(n_i, d), angle(n_j, d),
+             angle(n_i, n_j)],
+            axis=-1,
+        ).astype(np.float32)
+
+
 def add_edge_lengths(samples: List[GraphSample], normalize_max: bool = True) -> float:
     """Append edge length as (or to) edge_attr; divide by the global max
     across the dataset (reference ``abstractrawdataset.py:366-387`` /

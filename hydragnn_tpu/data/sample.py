@@ -21,6 +21,7 @@ class GraphSample:
     y_node: Optional[np.ndarray] = None  # [n, sum node-head dims]
     graph_attr: Optional[np.ndarray] = None  # [A]
     dataset_id: int = 0
+    norm: Optional[np.ndarray] = None  # [n, 3] vertex normals (PPF transform)
     pe: Optional[np.ndarray] = None  # [n, pe_dim]
     rel_pe: Optional[np.ndarray] = None  # [e, pe_dim]
     energy: Optional[float] = None

@@ -26,97 +26,98 @@ from hydragnn_tpu.ops.segment import (
 )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+# The four aggregation primitives are linear maps, declared to JAX as
+# ``linear_call`` pairs (fun, fun_transpose).  linear_call never
+# differentiates the bodies: the JVP of a linear map is the map itself and
+# the transpose is the supplied partner, so these compose under AD to ANY
+# order — in particular the MLIP force path's grad-of-grad
+# (energy_force_loss, models/mlip.py) works where a jax.custom_vjp would
+# raise on the forward-mode pass of reverse-over-reverse.
+#
+# Masking convention: segment sums mask padding edges on the way in, and
+# their transposes mask the gathered cotangents; the node->edge gathers
+# are unmasked forward (padding edges read real rows, downstream consumers
+# mask) with masked-sum transposes — padding-edge cotangents are always
+# downstream-masked, so the pairing is exact on every path that reaches
+# the loss.
+
+
 def _pallas_segsum(data, off, nb, sid, gather_idx, edge_mask, n_node, meta):
+    """Masked sorted-segment sum [E, F] -> [N, F] (receiver plan);
+    transpose = masked gather at ``gather_idx``."""
+    from jax.custom_derivatives import linear_call
+
     from hydragnn_tpu.ops.pallas_segment import segment_sum_pallas_raw
 
-    return segment_sum_pallas_raw(data, off, nb, sid, n_node, meta)
+    def fwd(res, d):
+        off_, nb_, sid_, _, _ = res
+        # no input mask: the tile plan already excludes padding edges
+        return segment_sum_pallas_raw(d, off_, nb_, sid_, n_node, meta)
 
+    def trans(res, ct):
+        _, _, _, gidx, em = res
+        # padding edges contribute nothing forward -> zero cotangent
+        return jnp.where(em[:, None], ct[gidx], 0)
 
-def _pallas_segsum_fwd(data, off, nb, sid, gather_idx, edge_mask, n_node, meta):
-    out = _pallas_segsum(data, off, nb, sid, gather_idx, edge_mask, n_node, meta)
-    return out, (gather_idx, edge_mask)
-
-
-def _pallas_segsum_bwd(n_node, meta, res, g):
-    gather_idx, edge_mask = res
-    # d/d data of sum-at-index = gather of cotangent rows; padding edges
-    # contributed nothing forward, so their cotangent must be zeroed
-    gd = jnp.where(edge_mask[:, None], g[gather_idx], 0)
-    return (gd, None, None, None, None, None)
-
-
-_pallas_segsum.defvjp(_pallas_segsum_fwd, _pallas_segsum_bwd)
-
-
-@partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def _pallas_segsum_perm(data, perm, off, nb, sid, gather_idx, edge_mask, n_node, meta):
-    """Sender-side variant: the sort permutation is applied INSIDE the
-    custom vjp so the backward is a single gather of cotangents by the
-    original (unsorted) index -- no permutation scatter."""
-    from hydragnn_tpu.ops.pallas_segment import segment_sum_pallas_raw
-
-    return segment_sum_pallas_raw(data[perm], off, nb, sid, n_node, meta)
-
-
-def _pallas_segsum_perm_fwd(
-    data, perm, off, nb, sid, gather_idx, edge_mask, n_node, meta
-):
-    out = _pallas_segsum_perm(
-        data, perm, off, nb, sid, gather_idx, edge_mask, n_node, meta
+    return linear_call(
+        fwd, trans, (off, nb, sid, gather_idx, edge_mask), data
     )
-    return out, (gather_idx, edge_mask)
 
 
-def _pallas_segsum_perm_bwd(n_node, meta, res, g):
-    gather_idx, edge_mask = res
-    gd = jnp.where(edge_mask[:, None], g[gather_idx], 0)
-    return (gd, None, None, None, None, None, None)
+def _pallas_segsum_perm(data, perm, off, nb, sid, gather_idx, edge_mask, n_node, meta):
+    """Sender-side variant: the sort permutation is applied inside, so the
+    transpose is a single gather by the original (unsorted) index -- no
+    permutation scatter in either direction."""
+    from jax.custom_derivatives import linear_call
+
+    from hydragnn_tpu.ops.pallas_segment import segment_sum_pallas_raw
+
+    def fwd(res, d):
+        perm_, off_, nb_, sid_, _, _ = res
+        return segment_sum_pallas_raw(d[perm_], off_, nb_, sid_, n_node, meta)
+
+    def trans(res, ct):
+        _, _, _, _, gidx, em = res
+        return jnp.where(em[:, None], ct[gidx], 0)
+
+    return linear_call(
+        fwd, trans, (perm, off, nb, sid, gather_idx, edge_mask), data
+    )
 
 
-_pallas_segsum_perm.defvjp(_pallas_segsum_perm_fwd, _pallas_segsum_perm_bwd)
-
-
-@partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def _gather_rows(x, idx, perm, off, nb, sid, edge_mask, n_node, meta):
-    return x[idx]
+    """Node->edge gather whose transpose is the sorted Pallas segment sum
+    (sender plan) instead of an XLA scatter-add."""
+    from jax.custom_derivatives import linear_call
 
-
-def _gather_rows_fwd(x, idx, perm, off, nb, sid, edge_mask, n_node, meta):
-    return x[idx], (perm, off, nb, sid, edge_mask)
-
-
-def _gather_rows_bwd(n_node, meta, res, g):
-    perm, off, nb, sid, edge_mask = res
     from hydragnn_tpu.ops.pallas_segment import segment_sum_pallas_raw
 
-    g = jnp.where(edge_mask[:, None], g, 0)
-    gx = segment_sum_pallas_raw(g[perm], off, nb, sid, n_node, meta)
-    return (gx, None, None, None, None, None, None)
+    def fwd(res, v):
+        idx_ = res[0]
+        return v[idx_]
+
+    def trans(res, ct):
+        _, perm_, off_, nb_, sid_, _ = res
+        return segment_sum_pallas_raw(ct[perm_], off_, nb_, sid_, n_node, meta)
+
+    return linear_call(fwd, trans, (idx, perm, off, nb, sid, edge_mask), x)
 
 
-_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
-
-
-@partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def _gather_rows_noperm(x, idx, off, nb, sid, edge_mask, n_node, meta):
-    return x[idx]
+    """Receiver-side gather; transpose = sorted Pallas sum (receiver plan)."""
+    from jax.custom_derivatives import linear_call
 
-
-def _gather_rows_noperm_fwd(x, idx, off, nb, sid, edge_mask, n_node, meta):
-    return x[idx], (off, nb, sid, edge_mask)
-
-
-def _gather_rows_noperm_bwd(n_node, meta, res, g):
-    off, nb, sid, edge_mask = res
     from hydragnn_tpu.ops.pallas_segment import segment_sum_pallas_raw
 
-    g = jnp.where(edge_mask[:, None], g, 0)
-    gx = segment_sum_pallas_raw(g, off, nb, sid, n_node, meta)
-    return (gx, None, None, None, None, None)
+    def fwd(res, v):
+        idx_ = res[0]
+        return v[idx_]
 
+    def trans(res, ct):
+        _, off_, nb_, sid_, _ = res
+        return segment_sum_pallas_raw(ct, off_, nb_, sid_, n_node, meta)
 
-_gather_rows_noperm.defvjp(_gather_rows_noperm_fwd, _gather_rows_noperm_bwd)
+    return linear_call(fwd, trans, (idx, off, nb, sid, edge_mask), x)
 
 
 def gather_nodes(graph: GraphBatch, x: jnp.ndarray, at: str = "senders"):
@@ -190,7 +191,24 @@ def segment_minmax(graph: GraphBatch, data: jnp.ndarray):
             segment_max(data, graph.receivers, graph.n_node, **kw),
         )
 
-    @jax.custom_vjp
+    def _seg2(edge_vals):
+        """One fused Pallas sum over feature-concatenated halves."""
+        return _pallas_segsum(
+            edge_vals,
+            graph.agg_rcv_off,
+            graph.agg_rcv_nb,
+            graph.agg_rcv_sid,
+            graph.receivers,
+            graph.edge_mask,
+            graph.n_node,
+            graph.agg_meta,
+        )
+
+    # custom_jvp (not custom_vjp) so the op composes under grad-of-grad
+    # (MLIP force training): the tangent map is tie-averaged and built
+    # from linear_call sums, so JAX can transpose it — the transpose IS
+    # the even-split cotangent rule.
+    @jax.custom_jvp
     def _mm(d):
         from hydragnn_tpu.ops.pallas_segment import segment_minmax_pallas_raw
 
@@ -200,38 +218,28 @@ def segment_minmax(graph: GraphBatch, data: jnp.ndarray):
         )
         return out[:, 1, :], out[:, 0, :]
 
-    def _fwd(d):
-        out = _mm(d)
-        return out, (d, out)
-
-    def _bwd(res, g):
-        d, (mn, mx) = res
-        g_mn, g_mx = g
+    @_mm.defjvp
+    def _mm_jvp(primals, tangents):
+        (d,) = primals
+        (td,) = tangents
+        mn, mx = _mm(d)
         em = graph.edge_mask[:, None]
         sel_mn = (d == mn[graph.receivers]) & em
         sel_mx = (d == mx[graph.receivers]) & em
         # both tie counts in one Pallas sum pass (concat on features)
-        ties = _pallas_segsum(
+        ties = _seg2(
             jnp.concatenate(
                 [sel_mn.astype(d.dtype), sel_mx.astype(d.dtype)], axis=-1
-            ),
-            graph.agg_rcv_off,
-            graph.agg_rcv_nb,
-            graph.agg_rcv_sid,
-            graph.receivers,
-            graph.edge_mask,
-            graph.n_node,
-            graph.agg_meta,
+            )
         )
-        t_mn, t_mx = jnp.split(ties, 2, axis=-1)
-        gd = jnp.where(
-            sel_mn, g_mn[graph.receivers] / jnp.maximum(t_mn, 1.0)[graph.receivers], 0.0
-        ) + jnp.where(
-            sel_mx, g_mx[graph.receivers] / jnp.maximum(t_mx, 1.0)[graph.receivers], 0.0
-        )
-        return (gd,)
+        inv = 1.0 / jnp.maximum(jax.lax.stop_gradient(ties), 1.0)
+        i_mn, i_mx = jnp.split(inv[graph.receivers], 2, axis=-1)
+        w_mn = jnp.where(sel_mn, i_mn, 0.0)
+        w_mx = jnp.where(sel_mx, i_mx, 0.0)
+        tboth = _seg2(jnp.concatenate([w_mn * td, w_mx * td], axis=-1))
+        t_mn, t_mx = jnp.split(tboth, 2, axis=-1)
+        return (mn, mx), (t_mn, t_mx)
 
-    _mm.defvjp(_fwd, _bwd)
     return _mm(data)
 
 

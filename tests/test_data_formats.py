@@ -181,3 +181,63 @@ def test_smiles_ring_closure_percent_and_errors():
     assert heavy == 6
     with pytest.raises(ValueError):
         smiles_to_graph("C1CC")  # unclosed ring
+
+
+def test_point_pair_features_formula():
+    """PPF transform vs hand-computed angles (PyG PointPairFeatures(cat=False)
+    semantics: edge_attr = [||d||, ang(n_i,d), ang(n_j,d), ang(n_i,n_j)])."""
+    from hydragnn_tpu.data.radius_graph import add_point_pair_features
+    from hydragnn_tpu.data.sample import GraphSample
+
+    pos = np.array([[0.0, 0, 0], [2.0, 0, 0]], np.float32)
+    norm = np.array([[0.0, 0, 1], [0.0, 1, 0]], np.float32)
+    s = GraphSample(
+        x=np.zeros((2, 1), np.float32),
+        pos=pos,
+        edge_index=np.array([[0, 1], [1, 0]]),
+        norm=norm,
+    )
+    add_point_pair_features([s])
+    assert s.edge_attr.shape == (2, 4)
+    # edge 0->1: d=(+2,0,0); n_i=z, n_j=y: all three angles are pi/2
+    np.testing.assert_allclose(
+        s.edge_attr[0], [2.0, np.pi / 2, np.pi / 2, np.pi / 2], atol=1e-6
+    )
+    # edge 1->0: d=(-2,0,0); angles still pi/2
+    np.testing.assert_allclose(
+        s.edge_attr[1], [2.0, np.pi / 2, np.pi / 2, np.pi / 2], atol=1e-6
+    )
+    # missing normals must raise (PyG data.norm requirement)
+    s2 = GraphSample(
+        x=np.zeros((2, 1), np.float32), pos=pos,
+        edge_index=np.array([[0, 1], [1, 0]]),
+    )
+    with pytest.raises(ValueError):
+        add_point_pair_features([s2])
+
+
+def test_descriptors_config_wiring():
+    """Dataset.Descriptors drives edge_dim and rejects the combined case
+    (reference abstractrawdataset.py:113-137)."""
+    import json
+
+    cfg = json.load(open("examples/unit_lattice/config.json"))
+    cfg["Dataset"]["num_samples"] = 40
+    cfg["Dataset"]["Descriptors"] = {"SphericalCoordinates": True}
+    cfg["NeuralNetwork"]["Training"]["num_epoch"] = 1
+    cfg["NeuralNetwork"]["Architecture"]["mpnn_type"] = "PNAPlus"
+    cfg.setdefault("Visualization", {})["create_plots"] = False
+    cfg["Dataset"]["name"] = "ppf_wiring"
+    from hydragnn_tpu.api import run_training
+
+    info = run_training(cfg)
+    assert np.isfinite(info["history"][-1]["train"])
+    saved = json.load(open("logs/ppf_wiring/config.json"))
+    assert saved["NeuralNetwork"]["Architecture"]["edge_dim"] == 3
+
+    cfg["Dataset"]["Descriptors"] = {
+        "SphericalCoordinates": True,
+        "PointPairFeatures": True,
+    }
+    with pytest.raises(ValueError):
+        run_training(cfg)

@@ -127,6 +127,39 @@ def test_flash_attention_matches_dense(per_graph, monkeypatch):
     assert err < 2e-2  # bf16 matmul rounding on the dense path
 
 
+def test_pallas_force_training_grad_of_grad():
+    """MLIP force-training step (grad-of-grad through the linear_call
+    aggregation ops) runs on the Pallas path and matches the XLA fallback
+    on the same batch."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    import bench
+    from hydragnn_tpu.models.create import create_model
+    from hydragnn_tpu.train.loop import Trainer
+
+    batch = bench.build_bench_batch(n_graphs=4)
+    cfg = bench._mk_cfg(
+        "EGNN", 256, 2, output_dim=(1,), output_type=("node",),
+        head_levels=("node",), task_weights=(1.0,), equivariance=True,
+        max_ell=1, node_max_ell=1, num_radial=8, radius=4.0,
+        avg_num_neighbors=16.0,
+    )
+    model = create_model("EGNN", cfg)
+    w = {"energy_weight": 1.0, "energy_peratom_weight": 1.0, "force_weight": 25.0}
+    tr = Trainer(
+        model, {"type": "AdamW", "learning_rate": 1e-3}, mlip=w, precision="fp32"
+    )
+    state = tr.init_state(batch)
+    nofast = dataclasses.replace(batch, agg_meta=None)
+    _, l1, _ = jax.jit(tr.train_step)(state, batch)
+    _, l2, _ = jax.jit(tr.train_step)(state, nofast)
+    l1, l2 = float(l1), float(l2)
+    assert np.isfinite(l1) and np.isfinite(l2)
+    assert abs(l1 - l2) / max(abs(l2), 1.0) < 1e-3
+
+
 def test_pallas_batch_training_matches_plain():
     from hydragnn_tpu.data.batching import PaddedBatcher, compute_batch_dims
     from hydragnn_tpu.data.pipeline import (
