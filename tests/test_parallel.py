@@ -304,3 +304,46 @@ def test_zero1_optimizer_state_sharding():
     shd = mu_out.sharding
     assert not shd.is_fully_replicated
     assert mu_out.addressable_shards[0].data.shape[0] == mu_out.shape[0] // 8
+
+
+def test_halo_aggregate_matches_and_comm_volume():
+    """Explicit halo-exchange edge-partitioned aggregation: forward and
+    gradient match the single-device masked gather+segment-sum, and the
+    planned comm volume is far below the all-gather XLA would insert."""
+    from hydragnn_tpu.data.batching import PaddedBatcher, compute_batch_dims
+    from hydragnn_tpu.parallel.graph_shard import make_graph_mesh, pad_to_multiple
+    from hydragnn_tpu.parallel.halo import build_halo_plan, make_halo_aggregate
+
+    samples, _, _ = _setup(n=16)
+    dims = compute_batch_dims(samples, 16)
+    batch = next(iter(PaddedBatcher(samples, 16, dims=dims)))
+    S = 8
+    batch = pad_to_multiple(batch, S)
+    plan = build_halo_plan(batch, S)
+    mesh = make_graph_mesh(S)
+    agg = make_halo_aggregate(mesh, plan)
+
+    N = batch.node_mask.shape[0]
+    rng = np.random.default_rng(0)
+    x = np.asarray(rng.normal(size=(N, 32)), np.float32)
+
+    import jax.numpy as jnp
+
+    def ref(v):
+        h = jnp.where(jnp.asarray(batch.edge_mask)[:, None], v[batch.senders], 0)
+        return jax.ops.segment_sum(h, jnp.asarray(batch.receivers), N)
+
+    out = np.asarray(agg(x))
+    expect = np.asarray(ref(jnp.asarray(x)))
+    np.testing.assert_allclose(out, expect, rtol=1e-5, atol=1e-5)
+
+    # gradient: one reverse all_to_all, values must match the XLA transpose
+    w = np.asarray(rng.normal(size=(N, 32)), np.float32)
+    g1 = np.asarray(jax.grad(lambda v: (agg(v) * w).sum())(jnp.asarray(x)))
+    g2 = np.asarray(jax.grad(lambda v: (ref(v) * w).sum())(jnp.asarray(x)))
+    np.testing.assert_allclose(g1, g2, rtol=1e-5, atol=1e-5)
+
+    # locality: contiguous lattice graphs -> halo is a small fraction of
+    # the all-gather volume
+    cb = plan.comm_bytes(feat_dim=32)
+    assert cb["halo_bytes"] < 0.5 * cb["allgather_bytes"], cb
