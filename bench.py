@@ -11,7 +11,13 @@ Roofline: FLOPs/step and HBM bytes/step come from XLA's own compiled cost
 analysis (compiled.cost_analysis()), so MFU% = achieved/peak matmul
 throughput and BW% = achieved/peak HBM bandwidth are anchored to what the
 compiler actually emitted, not hand-waved counts.  v5e peaks: 197 TFLOPS
-bf16, 819 GB/s HBM.
+bf16, 819 GB/s HBM.  CAVEAT: cost_analysis cannot see inside Pallas
+custom calls, so configs routed through the Pallas kernels (segment
+SpMM/minmax, flash attention) UNDER-report both flops and bytes — the
+printed MFU/BW are lower bounds there.  The PNA headline at ~83% BW is
+already at the HBM roofline even by this undercount: the step is
+gather/scatter(memory)-bound, which is the expected regime for
+message-passing GNNs (SURVEY.md section 3.2).
 
 Extra configs (VERDICT r01 item 4): MACE, GIN+GPS attention, and an EGNN
 MLIP force-training step (grad-of-grad), each reported in "details".

@@ -458,4 +458,16 @@ def run_prediction(config_or_path, use_deepspeed: bool = False):
         viz.create_error_histograms(true_cat, pred_cat)
         viz.create_scatter_plots(true_cat, pred_cat)
 
+    # per-head true/pred dump for offline analysis (reference
+    # HYDRAGNN_DUMP_TESTDATA, train_validate_test.py:908-963)
+    dump = os.environ.get("HYDRAGNN_TPU_DUMP_TESTDATA")
+    if dump:
+        os.makedirs(dump, exist_ok=True)
+        for ihead, (t, p) in enumerate(zip(true_cat, pred_cat)):
+            np.savez(
+                os.path.join(dump, f"testdata_head{ihead}.npz"),
+                true=t,
+                pred=p,
+            )
+
     return error, list(np.asarray(tasks_error)), true_cat, pred_cat

@@ -76,7 +76,7 @@ def rescale_decoder_grads(grads, n_branch: int):
 
 
 def make_branch_dp_train_step(model, tx, mesh: Mesh):
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n_branch = mesh.shape["branch"]
 
@@ -129,6 +129,6 @@ def make_branch_dp_train_step(model, tx, mesh: Mesh):
         mesh=mesh,
         in_specs=(P(), P("branch", "data")),
         out_specs=(P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(smapped)

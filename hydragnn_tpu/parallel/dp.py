@@ -49,7 +49,7 @@ def make_dp_train_step(model, tx, mesh: Mesh):
     mesh['data'] size). Grads/metrics are psum/pmean-ed over the axis; the
     (replicated) optimizer update runs identically on every device.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def per_device(state: TrainState, batch: GraphBatch):
         batch = jax.tree.map(lambda x: x[0], batch)  # local shard [1,...] -> [...]
@@ -90,7 +90,7 @@ def make_dp_train_step(model, tx, mesh: Mesh):
         mesh=mesh,
         in_specs=(P(), batch_spec),
         out_specs=(P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(smapped)
 
@@ -133,7 +133,7 @@ class DataParallelTrainer:
     ):
         import dataclasses
 
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         from hydragnn_tpu.train.loop import Trainer
 
@@ -301,7 +301,7 @@ class DataParallelTrainer:
                     self._train_fn, mesh=self.mesh,
                     in_specs=(sspec, P("data")),
                     out_specs=(sspec, P(), P(), P()),
-                    check_rep=False,
+                    check_vma=False,
                 )
             )
             self.__dp_eval = jax.jit(
@@ -309,7 +309,7 @@ class DataParallelTrainer:
                     self._eval_fn, mesh=self.mesh,
                     in_specs=(sspec, P("data")),
                     out_specs=(P(), P(), P()),
-                    check_rep=False,
+                    check_vma=False,
                 )
             )
         return self.__dp_train, self.__dp_eval

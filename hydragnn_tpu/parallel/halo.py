@@ -246,7 +246,7 @@ def make_halo_aggregate(mesh: Mesh, plan: HaloPlan):
     try:
         from jax import shard_map
     except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
     dev_plan = plan_device_arrays(plan, mesh)
     spec = P("graph")

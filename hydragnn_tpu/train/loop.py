@@ -185,7 +185,10 @@ class Trainer:
         total = 0.0
         tasks_total = None
         n = 0
-        for batch in loader:
+        max_nb = _max_num_batch()
+        for nb, batch in enumerate(loader):
+            if max_nb is not None and nb >= max_nb:
+                break
             ng = int(batch.graph_mask.sum())
             state, loss, tasks = self.train_step(state, batch)
             total += float(loss) * ng
@@ -200,7 +203,10 @@ class Trainer:
         total = 0.0
         tasks_total = None
         n = 0
-        for batch in loader:
+        max_nb = _max_num_batch()
+        for nb, batch in enumerate(loader):
+            if max_nb is not None and nb >= max_nb:
+                break
             ng = int(batch.graph_mask.sum())
             loss, tasks = self.eval_step(state, batch)
             total += float(loss) * ng
@@ -210,6 +216,13 @@ class Trainer:
         if tasks_total is None:
             return 0.0, np.zeros((1,))
         return total / max(n, 1), tasks_total / max(n, 1)
+
+
+def _max_num_batch() -> Optional[int]:
+    """Per-epoch batch cap for scaling runs (reference
+    ``HYDRAGNN_MAX_NUM_BATCH``, train_validate_test.py:675)."""
+    v = os.environ.get("HYDRAGNN_TPU_MAX_NUM_BATCH")
+    return int(v) if v else None
 
 
 def train_validate_test(
@@ -303,10 +316,16 @@ def train_validate_test(
         else:
             state, train_loss, train_tasks = trainer.run_epoch(state, train_loader)
         tracer.stop("train")
-        tracer.start("validate")
-        val_loss, val_tasks = trainer.evaluate(state, val_loader)
-        tracer.stop("validate")
-        test_loss, test_tasks = trainer.evaluate(state, test_loader)
+        # scaling-run knob: skip per-epoch val/test entirely (reference
+        # HYDRAGNN_VALTEST, train_validate_test.py:343 + SC25 job scripts)
+        if os.environ.get("HYDRAGNN_TPU_VALTEST", "1") in ("0", "false"):
+            val_loss, val_tasks = float("inf"), np.zeros((1,))
+            test_loss, test_tasks = float("inf"), np.zeros((1,))
+        else:
+            tracer.start("validate")
+            val_loss, val_tasks = trainer.evaluate(state, val_loader)
+            tracer.stop("validate")
+            test_loss, test_tasks = trainer.evaluate(state, test_loader)
         history.append(
             {"train": train_loss, "val": val_loss, "test": test_loss, "epoch": epoch}
         )

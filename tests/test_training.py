@@ -159,3 +159,30 @@ def test_performer_approximates_dense_softmax_attention():
     err = float(jnp.abs(lin - dense).max())
     scale = float(jnp.abs(dense).max())
     assert err < 0.15 * max(scale, 1.0), (err, scale)
+
+
+def test_env_knobs_valtest_maxbatch_dump(tmp_path, monkeypatch):
+    """Scaling/debug env knobs (reference HYDRAGNN_VALTEST,
+    HYDRAGNN_MAX_NUM_BATCH, HYDRAGNN_DUMP_TESTDATA analogues)."""
+    import os
+
+    from hydragnn_tpu.api import run_prediction, run_training
+
+    monkeypatch.chdir(tmp_path)
+    cfg = _base_config("GIN", num_samples=80, epochs=2)
+    cfg["NeuralNetwork"]["Training"]["Checkpoint"] = True
+    cfg["NeuralNetwork"]["Training"]["checkpoint_warmup"] = 0
+
+    monkeypatch.setenv("HYDRAGNN_TPU_VALTEST", "0")
+    monkeypatch.setenv("HYDRAGNN_TPU_MAX_NUM_BATCH", "1")
+    info = run_training(cfg)
+    # val/test skipped entirely
+    assert all(h["val"] == float("inf") for h in info["history"])
+
+    monkeypatch.delenv("HYDRAGNN_TPU_VALTEST")
+    monkeypatch.delenv("HYDRAGNN_TPU_MAX_NUM_BATCH")
+    dump = tmp_path / "dump"
+    monkeypatch.setenv("HYDRAGNN_TPU_DUMP_TESTDATA", str(dump))
+    run_prediction(cfg)
+    d = np.load(dump / "testdata_head0.npz")
+    assert d["true"].shape == d["pred"].shape and d["true"].size > 0
