@@ -184,13 +184,13 @@ def bench_mace(batch):
     return dt, _roofline(dt, flops, bytes_)
 
 
-def bench_gps(batch):
+def bench_gps(batch, attn_type="multihead"):
     from hydragnn_tpu.models.create import create_model
     from hydragnn_tpu.train.loop import Trainer
 
     cfg = _mk_cfg(
         "GIN", 256, 4,
-        global_attn_engine="GPS", global_attn_type="multihead",
+        global_attn_engine="GPS", global_attn_type=attn_type,
         global_attn_heads=8, pe_dim=2,
     )
     model = create_model("GIN", cfg)
@@ -250,6 +250,13 @@ def main():
         _, details["gps_gin_h256_L4"] = bench_gps(batch_pe)
     except Exception as e:
         details["gps_gin_h256_L4"] = {"error": repr(e)[:120]}
+    try:
+        batch_pe = build_bench_batch(with_pe=True)
+        _, details["gps_performer_gin_h256_L4"] = bench_gps(
+            batch_pe, attn_type="performer"
+        )
+    except Exception as e:
+        details["gps_performer_gin_h256_L4"] = {"error": repr(e)[:120]}
     try:
         _, details["egnn_force_h256_L4"] = bench_force_step(batch)
     except Exception as e:

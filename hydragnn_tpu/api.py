@@ -117,6 +117,27 @@ def _build_datasets(config: Dict):
 
         samples = load_xyz_directory(ds_cfg["path"]["total"])
         normalize = bool(ds_cfg.get("normalize_features", False))
+    elif fmt == "smiles_csv":
+        from hydragnn_tpu.data.smiles import (
+            load_smiles_csv,
+            synthesize_smiles_csv,
+        )
+
+        path = ds_cfg.get("path", {}).get("total", "dataset/csce/gap.csv")
+        limit = ds_cfg.get("num_samples")
+        if not os.path.exists(path):
+            print(
+                f"[smiles_csv] {path!r} not found -- synthesizing a "
+                "surrogate corpus in the CSCE csv schema (no network egress)"
+            )
+            synthesize_smiles_csv(path, int(limit or 1000), seed=0)
+        samples = load_smiles_csv(
+            path,
+            smiles_col=int(ds_cfg.get("smiles_col", 1)),
+            target_col=int(ds_cfg.get("target_col", 2)),
+            limit=int(limit) if limit else None,
+        )
+        normalize = bool(ds_cfg.get("normalize_features", False))
     else:
         raise ValueError(f"Unsupported dataset format: {fmt}")
 
@@ -185,8 +206,15 @@ def _build_datasets(config: Dict):
 
         add_point_pair_features(samples)
     elif arch.get("edge_features"):
-        assert list(arch["edge_features"]) == ["lengths"], "only lengths supported"
-        if samples[0].edge_attr is None:
+        if samples[0].edge_attr is not None:
+            # dataset-borne edge features (e.g. SMILES bond one-hots); the
+            # config names label existing columns, like the reference's
+            # zinc/csce drivers
+            assert samples[0].edge_attr.shape[-1] == len(arch["edge_features"])
+        else:
+            assert list(arch["edge_features"]) == ["lengths"], (
+                "only computed 'lengths' or dataset-borne edge features"
+            )
             add_edge_lengths(samples)
     from hydragnn_tpu.data.pipeline import sort_edges_by_receiver
 

@@ -2,6 +2,8 @@
 
 import os
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 import numpy as np
 import pytest
 
@@ -241,3 +243,22 @@ def test_descriptors_config_wiring():
     }
     with pytest.raises(ValueError):
         run_training(cfg)
+
+
+def test_smiles_csv_format_end_to_end(tmp_path, monkeypatch):
+    """smiles_csv dataset format (CSCE schema): surrogate synthesis ->
+    csv -> graphs -> one training epoch with bond-order edge features."""
+    import json
+
+    from hydragnn_tpu.api import run_training
+
+    monkeypatch.chdir(tmp_path)
+    cfg = json.load(
+        open(os.path.join(REPO, "examples/csce/csce_gap.json"))
+    )
+    cfg["Dataset"]["num_samples"] = 60
+    cfg["Dataset"]["path"]["total"] = str(tmp_path / "gap.csv")
+    cfg["NeuralNetwork"]["Training"]["num_epoch"] = 1
+    cfg["NeuralNetwork"]["Training"]["batch_size"] = 16
+    info = run_training(cfg)
+    assert np.isfinite(info["history"][-1]["train"])
