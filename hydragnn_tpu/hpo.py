@@ -76,7 +76,14 @@ def random_search(
             val = float(objective(cfg))
         else:
             info = hydragnn_tpu.run_training(cfg)
-            val = float(info.get("best_val", info["history"][-1]["val"]))
+            # best_val can be inf when the run is shorter than the
+            # checkpoint warmup — fall back to the observed history
+            val = float(info.get("best_val", float("inf")))
+            if not math.isfinite(val):
+                val = min(
+                    (float(h["val"]) for h in info["history"]),
+                    default=float("inf"),
+                )
         trials.append({"trial": i, "overrides": overrides, "objective": val})
         if val < best_val:
             best, best_val = overrides, val
