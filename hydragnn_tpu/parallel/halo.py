@@ -267,3 +267,87 @@ def make_halo_aggregate(mesh: Mesh, plan: HaloPlan):
         return f(x, *(dev_plan[k] for k in keys))
 
     return agg
+
+
+def make_halo_train_fns(
+    sample, n_shards: int, hidden: int = 64, layers: int = 2, seed: int = 0
+):
+    """Build (step, init, plan) for training a message-passing network on
+    ONE giant graph node-partitioned over a ``graph`` mesh (the capability
+    the reference lacks — examples/giant_graph).  ``step(params)`` returns
+    (loss, grads): the forward runs under shard_map with one halo
+    all_to_all per layer, gradients arrive via the linear transposes (one
+    reverse exchange per layer) plus a psum, all on-device."""
+    from jax import shard_map
+
+    from hydragnn_tpu.data.batching import collate
+    from hydragnn_tpu.data.pipeline import sort_edges_by_receiver
+    from hydragnn_tpu.parallel.graph_shard import make_graph_mesh, pad_to_multiple
+
+    sort_edges_by_receiver([sample])
+    fy = sample.y_node.shape[-1]
+    fin = sample.x.shape[-1]
+    batch = collate(
+        [sample],
+        _round_up(sample.num_nodes + 1, n_shards * 8),
+        _round_up(sample.num_edges, 8),
+        2,
+    )
+    batch = pad_to_multiple(batch, n_shards)
+    plan = build_halo_plan(batch, n_shards)
+    mesh = make_graph_mesh(n_shards)
+    dev_plan = plan_device_arrays(plan, mesh)
+    keys = sorted(dev_plan)
+    spec = P("graph")
+    sh = NamedSharding(mesh, spec)
+    x_sh = jax.device_put(np.asarray(batch.x, np.float32), sh)
+    y_sh = jax.device_put(np.asarray(batch.y_node, np.float32), sh)
+    m_sh = jax.device_put(np.asarray(batch.node_mask), sh)
+
+    def init():
+        rng = np.random.default_rng(seed)
+
+        def w(shape, fan_in):
+            return jnp.asarray(
+                rng.normal(0, (2.0 / fan_in) ** 0.5, shape), jnp.float32
+            )
+
+        params = {"embed": w((fin, hidden), fin), "out": w((hidden, fy), hidden),
+                  "out_b": jnp.zeros((fy,), jnp.float32)}
+        for i in range(layers):
+            params[f"w_self_{i}"] = w((hidden, hidden), hidden)
+            params[f"w_agg_{i}"] = w((hidden, hidden), hidden)
+            params[f"b_{i}"] = jnp.zeros((hidden,), jnp.float32)
+        return params
+
+    def fwd_local(params, x_loc, y_loc, m_loc, *pvals):
+        p = dict(zip(keys, pvals))
+        h = jax.nn.relu(x_loc @ params["embed"])
+        for i in range(layers):
+            a = halo_segment_sum_local(h, p, plan.block)
+            h = jax.nn.relu(
+                h @ params[f"w_self_{i}"] + a @ params[f"w_agg_{i}"]
+                + params[f"b_{i}"]
+            )
+        pred = h @ params["out"] + params["out_b"]
+        se = jnp.sum(jnp.where(m_loc[:, None], (pred - y_loc) ** 2, 0.0))
+        n = jnp.sum(m_loc.astype(jnp.float32))
+        se = jax.lax.psum(se, "graph")
+        n = jax.lax.psum(n, "graph")
+        return se / jnp.maximum(n, 1.0) / fy
+
+    loss_fn = shard_map(
+        fwd_local,
+        mesh=mesh,
+        in_specs=(P(), spec, spec, spec) + tuple(spec for _ in keys),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(params):
+        return jax.value_and_grad(
+            lambda prm: loss_fn(prm, x_sh, y_sh, m_sh, *(dev_plan[k] for k in keys))
+        )(params)
+
+    return step, init, plan
