@@ -379,6 +379,8 @@ def run_training(config_or_path, use_deepspeed: bool = False):
         mngr = CheckpointManager(ckpt_dir)
         if mngr.latest_step() is not None:
             state = mngr.restore(state)
+            if mesh is not None:
+                state = trainer.place_state(state)
 
     verbosity = config.get("Verbosity", {}).get("level", 0)
     state, info = train_validate_test(
@@ -427,19 +429,31 @@ def run_prediction(config_or_path, use_deepspeed: bool = False):
     _, _, test_loader = _make_loaders(config, train, val, test)
 
     model = create_model_config(config["NeuralNetwork"])
-    trainer = Trainer(
-        model,
-        config["NeuralNetwork"]["Training"]["Optimizer"],
+    mesh = _resolve_data_mesh(config)
+    tr_kw = dict(
         seed=0,
         mlip=_mlip_weights(config["NeuralNetwork"]["Architecture"]),
         precision=precision,
     )
+    opt_cfg = config["NeuralNetwork"]["Training"]["Optimizer"]
+    if mesh is not None:
+        # sharded evaluation over the data mesh (the reference's
+        # DistributedSampler + padded all_gather eval path,
+        # train_validate_test.py:588-626); per-sample collection below
+        # materializes on host either way
+        from hydragnn_tpu.parallel.dp import DataParallelTrainer
+
+        trainer = DataParallelTrainer(model, opt_cfg, mesh, **tr_kw)
+    else:
+        trainer = Trainer(model, opt_cfg, **tr_kw)
     state = trainer.init_state(next(iter(test_loader)))
 
     log_dir = _log_dir(config)
     from hydragnn_tpu.train.checkpoint import load_model
 
     state = load_model(log_dir, state)
+    if mesh is not None:
+        state = trainer.place_state(state)
 
     error, tasks_error = trainer.evaluate(state, test_loader)
 

@@ -328,6 +328,22 @@ class DataParallelTrainer:
             state = state.replace(opt_state=self.tx.init(flat_p))
         return state
 
+    def place_state(self, state):
+        """device_put every leaf with its mesh sharding (replicated, or
+        data-sharded opt-state under ZeRO-1).  Needed after a checkpoint
+        restore: orbax hands back arrays committed to device 0, which jit
+        refuses to mix with mesh-sharded batch inputs."""
+        specs = self._state_specs(state)
+        if not isinstance(specs, P):
+            return jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
+                state,
+                specs,
+            )
+        return jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(self.mesh, P())), state
+        )
+
     @property
     def predict_step(self):
         return self._single.predict_step
