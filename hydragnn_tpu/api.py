@@ -62,6 +62,27 @@ def _build_datasets(config: Dict):
         for _, path in ds_cfg["path"].items():
             samples.extend(load_lsms_directory(path, ds_cfg))
         normalize = True
+    elif fmt == "CFG":
+        from hydragnn_tpu.data.lsms import (
+            load_cfg_directory,
+            synthesize_cfg_directory,
+        )
+
+        path = ds_cfg["path"]["total"]
+        if not os.path.isdir(path) or not any(
+            n.endswith(".cfg") for n in os.listdir(path)
+        ):
+            print(
+                f"[CFG] directory {path!r} empty -- synthesizing a surrogate "
+                "NiNb corpus in the extended-CFG + .bulk schema (no egress)"
+            )
+            synthesize_cfg_directory(
+                path, int(ds_cfg.get("num_samples", 200)), seed=0
+            )
+        samples = load_cfg_directory(path)
+        if ds_cfg.get("num_samples"):
+            samples = samples[: int(ds_cfg["num_samples"])]
+        normalize = True  # raw-loader path normalizes (abstractrawdataset)
     elif fmt == "pickle":
         with open(ds_cfg["path"]["total"], "rb") as f:
             samples = pickle.load(f)

@@ -262,3 +262,26 @@ def test_smiles_csv_format_end_to_end(tmp_path, monkeypatch):
     cfg["NeuralNetwork"]["Training"]["batch_size"] = 16
     info = run_training(cfg)
     assert np.isfinite(info["history"][-1]["train"])
+
+
+def test_cfg_roundtrip_and_bulk_target(tmp_path):
+    """Extended-CFG writer/parser round trip: reference node-feature order
+    [Z, mass, aux...], H0 cell, sibling .bulk graph target."""
+    from hydragnn_tpu.data.lsms import (
+        load_cfg_directory,
+        synthesize_cfg_directory,
+    )
+
+    synthesize_cfg_directory(str(tmp_path), 3, seed=2)
+    gs = load_cfg_directory(str(tmp_path))
+    assert len(gs) == 3
+    g = gs[0]
+    assert g.x.shape[1] == 6  # Z, mass, c_peratom, fx, fy, fz
+    assert set(np.unique(g.x[:, 0])) <= {28.0, 41.0}
+    # masses pair with species
+    ni = g.x[:, 0] == 28.0
+    np.testing.assert_allclose(g.x[ni, 1], 58.6934, rtol=1e-4)
+    assert g.cell is not None and g.cell[0, 0] > 9.0
+    assert g.y_raw.shape == (1,) and 150.0 < float(g.y_raw[0]) < 260.0
+    # positions inside the cell
+    assert g.pos.min() >= -1.0 and g.pos.max() <= float(g.cell[0, 0]) + 1.0
