@@ -80,11 +80,12 @@ def build_bench_batch(
 
 
 def _cost_analysis(fn, *args):
-    """XLA-compiled flops + HBM bytes for fn(*args), or (None, None)."""
-    import jax
-
+    """XLA-compiled flops + HBM bytes for fn(*args), or (None, None).
+    ``fn`` is the trainer's already-jitted step, so lower().compile() hits
+    the executable cache instead of recompiling (a full second compile per
+    config was pushing the whole bench past the driver's timeout)."""
     try:
-        compiled = jax.jit(fn).lower(*args).compile()
+        compiled = fn.lower(*args).compile()
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
@@ -95,14 +96,20 @@ def _cost_analysis(fn, *args):
         return None, None
 
 
-def _time_step(step, state, batch, n_iter=20):
+def _time_step(step, state, batch, n_iter=8, reps=2):
+    """Median-free robust timing: best of ``reps`` timed windows (the axon
+    tunnel adds tens-of-ms jitter per run; min-over-reps approximates the
+    clean device time, the standard microbenchmark practice)."""
     state, loss, _ = step(state, batch)
     _ = float(loss)  # host materialization == real sync through the tunnel
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        state, loss, _ = step(state, batch)
-    _ = float(loss)
-    return (time.perf_counter() - t0) / n_iter
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            state, loss, _ = step(state, batch)
+        _ = float(loss)
+        best = min(best, (time.perf_counter() - t0) / n_iter)
+    return best
 
 
 def _roofline(dt, flops, bytes_):
@@ -179,7 +186,7 @@ def bench_mace(batch):
         model, {"type": "AdamW", "learning_rate": 1e-3}, precision="bf16"
     )
     state = trainer.init_state(batch)
-    dt = _time_step(trainer.train_step, state, batch, n_iter=10)
+    dt = _time_step(trainer.train_step, state, batch)
     flops, bytes_ = _cost_analysis(trainer.train_step, state, batch)
     return dt, _roofline(dt, flops, bytes_)
 
@@ -198,7 +205,7 @@ def bench_gps(batch, attn_type="multihead"):
         model, {"type": "AdamW", "learning_rate": 1e-3}, precision="bf16"
     )
     state = trainer.init_state(batch)
-    dt = _time_step(trainer.train_step, state, batch, n_iter=10)
+    dt = _time_step(trainer.train_step, state, batch)
     flops, bytes_ = _cost_analysis(trainer.train_step, state, batch)
     return dt, _roofline(dt, flops, bytes_)
 
@@ -228,12 +235,19 @@ def bench_force_step(batch):
         precision="bf16",
     )
     state = trainer.init_state(batch)
-    dt = _time_step(trainer.train_step, state, batch, n_iter=10)
+    dt = _time_step(trainer.train_step, state, batch)
     flops, bytes_ = _cost_analysis(trainer.train_step, state, batch)
     return dt, _roofline(dt, flops, bytes_)
 
 
 def main():
+    import os
+
+    t_start = time.perf_counter()
+    # detail configs stop once the budget is spent (compiles through the
+    # axon tunnel run 30-90s each; the PNA headline always completes)
+    budget = float(os.environ.get("HYDRAGNN_TPU_BENCH_BUDGET", "420"))
+
     batch = build_bench_batch()
     real_edges = int(np.asarray(batch.edge_mask).sum())
 
@@ -241,26 +255,24 @@ def main():
     value = real_edges / dt_pna  # per conv layer: each step runs 6 layers...
 
     details = {"pna_h256_L6": r_pna}
-    try:
-        _, details["mace_h128_L2"] = bench_mace(batch)
-    except Exception as e:
-        details["mace_h128_L2"] = {"error": repr(e)[:120]}
-    try:
-        batch_pe = build_bench_batch(with_pe=True)
-        _, details["gps_gin_h256_L4"] = bench_gps(batch_pe)
-    except Exception as e:
-        details["gps_gin_h256_L4"] = {"error": repr(e)[:120]}
-    try:
-        batch_pe = build_bench_batch(with_pe=True)
-        _, details["gps_performer_gin_h256_L4"] = bench_gps(
-            batch_pe, attn_type="performer"
-        )
-    except Exception as e:
-        details["gps_performer_gin_h256_L4"] = {"error": repr(e)[:120]}
-    try:
-        _, details["egnn_force_h256_L4"] = bench_force_step(batch)
-    except Exception as e:
-        details["egnn_force_h256_L4"] = {"error": repr(e)[:120]}
+
+    def extra(name, fn):
+        if time.perf_counter() - t_start > budget:
+            details[name] = {"skipped": "bench time budget"}
+            return
+        try:
+            _, details[name] = fn()
+        except Exception as e:
+            details[name] = {"error": repr(e)[:120]}
+
+    batch_pe = build_bench_batch(with_pe=True)
+    extra("mace_h128_L2", lambda: bench_mace(batch))
+    extra("gps_gin_h256_L4", lambda: bench_gps(batch_pe))
+    extra(
+        "gps_performer_gin_h256_L4",
+        lambda: bench_gps(batch_pe, attn_type="performer"),
+    )
+    extra("egnn_force_h256_L4", lambda: bench_force_step(batch))
 
     # the reference publishes no in-tree numbers (BASELINE.json "published"
     # is {}); baseline = this framework's own naive XLA-scatter

@@ -327,7 +327,15 @@ def train_validate_test(
             tracer.stop("validate")
             test_loss, test_tasks = trainer.evaluate(state, test_loader)
         history.append(
-            {"train": train_loss, "val": val_loss, "test": test_loss, "epoch": epoch}
+            {
+                "train": train_loss,
+                "val": val_loss,
+                "test": test_loss,
+                "epoch": epoch,
+                # per-task components (for MLIP: [energy, energy/atom, force])
+                "val_tasks": [float(t) for t in np.asarray(val_tasks).ravel()],
+                "test_tasks": [float(t) for t in np.asarray(test_tasks).ravel()],
+            }
         )
         if writer is not None:
             writer.add_scalar("train_loss", train_loss, epoch)

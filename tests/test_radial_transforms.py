@@ -106,7 +106,11 @@ def test_soft_transform_formula_and_asymptotics():
     np.testing.assert_allclose(out, expected, rtol=1e-5)
     # large distance: y -> d (tanh saturates at -1)
     big = np.asarray([[8.0]], np.float32)
-    y = float(np.asarray(soft_transform(jnp.asarray(big), jnp.asarray([6]), jnp.asarray([6]))))
+    y = float(
+        np.asarray(
+            soft_transform(jnp.asarray(big), jnp.asarray([6]), jnp.asarray([6]))
+        ).item()
+    )
     assert abs(y - 8.0) < 1e-3
 
 
