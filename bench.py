@@ -256,6 +256,14 @@ def main():
 
     details = {"pna_h256_L6": r_pna}
 
+    import sys
+
+    print(
+        f"[bench] pna done at t={time.perf_counter()-t_start:.0f}s",
+        file=sys.stderr,
+        flush=True,
+    )
+
     def extra(name, fn):
         if time.perf_counter() - t_start > budget:
             details[name] = {"skipped": "bench time budget"}
@@ -264,6 +272,11 @@ def main():
             _, details[name] = fn()
         except Exception as e:
             details[name] = {"error": repr(e)[:120]}
+        print(
+            f"[bench] {name} done at t={time.perf_counter()-t_start:.0f}s",
+            file=sys.stderr,
+            flush=True,
+        )
 
     batch_pe = build_bench_batch(with_pe=True)
     extra("mace_h128_L2", lambda: bench_mace(batch))

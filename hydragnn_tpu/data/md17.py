@@ -87,14 +87,32 @@ def _pairs(n: int):
     return iu[0], iu[1]
 
 
-def _surrogate_energy_forces(pos: np.ndarray, d0: np.ndarray, k: np.ndarray):
-    """E = sum_ij 0.5 k_ij (|r_ij| - d0_ij)^2 with analytic forces."""
+_RCOV = {1: 0.31, 6: 0.76, 7: 0.71, 8: 0.66}
+
+
+def _surrogate_energy_forces(pos: np.ndarray, z: np.ndarray):
+    """Species-pair Morse potential with analytic forces.
+
+    V(d; Zi, Zj) = D [ (1 - exp(-a (d - d0)))^2 - 1 ],   d0 = rcov_i + rcov_j
+
+    Every parameter is a function of the species PAIR only, so the force
+    field is an exactly-learnable function of (positions, Z) — unlike a
+    per-pair table of rest lengths, which a GNN cannot distinguish for
+    same-species pairs and which stalls force training at the mean."""
     i, j = _pairs(len(pos))
+    zi = z[i].astype(int)
+    zj = z[j].astype(int)
+    rc = np.asarray([_RCOV.get(int(s), 0.7) for s in z], np.float64)
+    d0 = rc[i] + rc[j]
+    D = 3.0 * np.sqrt(zi * zj).astype(np.float64)
+    a = 1.8 / d0
     rij = pos[i] - pos[j]
     dij = np.linalg.norm(rij, axis=1)
-    e = float(np.sum(0.5 * k * (dij - d0) ** 2))
-    # dE/dri = k (d - d0) * rij/d
-    g = (k * (dij - d0) / np.maximum(dij, 1e-9))[:, None] * rij
+    ex = np.exp(-a * (dij - d0))
+    e = float(np.sum(D * ((1 - ex) ** 2 - 1.0)))
+    # dV/dd = 2 D a (1 - ex) ex
+    dv = 2.0 * D * a * (1 - ex) * ex
+    g = (dv / np.maximum(dij, 1e-9))[:, None] * rij
     grad = np.zeros_like(pos)
     np.add.at(grad, i, g)
     np.add.at(grad, j, -g)
@@ -108,16 +126,12 @@ def synthesize_md17_npz(
     rng = np.random.default_rng(seed)
     eq = _equilibrium_geometry()
     n = len(eq)
-    i, j = _pairs(n)
-    d0 = np.linalg.norm(eq[i] - eq[j], axis=1)
-    # stiff for bonded-range pairs, soft long-range (smooth, learnable)
-    k = np.where(d0 < 1.8, 300.0, 5.0) / np.maximum(d0, 1.0)
     R = np.zeros((n_frames, n, 3), np.float32)
     E = np.zeros((n_frames,), np.float32)
     F = np.zeros((n_frames, n, 3), np.float32)
     for t in range(n_frames):
         pos = eq + rng.normal(0, temperature, size=eq.shape).astype(np.float32)
-        e, f = _surrogate_energy_forces(pos, d0, k)
+        e, f = _surrogate_energy_forces(pos.astype(np.float64), _URACIL_Z)
         # absolute offset mimics real MD17 energies (large negative baseline)
         R[t], E[t], F[t] = pos, e - 260120.0, f
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)

@@ -59,20 +59,20 @@ def test_md17_roundtrip_and_force_consistency(tmp_path):
     assert s.y_raw.shape == (1,)
 
     # surrogate forces are the exact analytic gradient (finite differences)
+    # of the species-pair Morse potential (learnable from (pos, Z) alone)
+    from hydragnn_tpu.data.md17 import _URACIL_Z
+
     eq = _equilibrium_geometry()
-    i, j = _pairs(len(eq))
-    d0 = np.linalg.norm(eq[i] - eq[j], axis=1)
-    k = np.where(d0 < 1.8, 300.0, 5.0) / np.maximum(d0, 1.0)
     rng = np.random.default_rng(0)
     pos = eq.astype(np.float64) + rng.normal(0, 0.05, eq.shape)
-    e0, f = _surrogate_energy_forces(pos, d0, k)
+    e0, f = _surrogate_energy_forces(pos, _URACIL_Z)
     eps = 1e-5
     for (a, c) in [(0, 0), (3, 1), (7, 2)]:
         p = pos.copy()
         p[a, c] += eps
-        ep, _ = _surrogate_energy_forces(p, d0, k)
+        ep, _ = _surrogate_energy_forces(p, _URACIL_Z)
         p[a, c] -= 2 * eps
-        em, _ = _surrogate_energy_forces(p, d0, k)
+        em, _ = _surrogate_energy_forces(p, _URACIL_Z)
         fd = -(ep - em) / (2 * eps)
         assert abs(fd - f[a, c]) < 1e-2 * max(1.0, abs(f[a, c]))
 
