@@ -79,21 +79,22 @@ def build_bench_batch(
     )
 
 
-def _cost_analysis(fn, *args):
-    """XLA-compiled flops + HBM bytes for fn(*args), or (None, None).
-    ``fn`` is the trainer's already-jitted step, so lower().compile() hits
-    the executable cache instead of recompiling (a full second compile per
-    config was pushing the whole bench past the driver's timeout)."""
+def _aot(step, *args):
+    """AOT-compile the jitted step ONCE and return (callable, flops,
+    bytes): the same executable serves both the timing loop and the
+    roofline numbers — compiles through the axon tunnel run minutes each,
+    so never compile twice per config."""
+    compiled = step.lower(*args).compile()
+    flops = bytes_ = None
     try:
-        compiled = fn.lower(*args).compile()
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        return float(ca.get("flops", 0.0)), float(
-            ca.get("bytes accessed", 0.0)
-        )
+        flops = float(ca.get("flops", 0.0))
+        bytes_ = float(ca.get("bytes accessed", 0.0))
     except Exception:
-        return None, None
+        pass
+    return compiled, flops, bytes_
 
 
 def _time_step(step, state, batch, n_iter=8, reps=2):
@@ -167,8 +168,8 @@ def bench_pna(batch):
         model, {"type": "AdamW", "learning_rate": 1e-3}, precision="bf16"
     )
     state = trainer.init_state(batch)
-    dt = _time_step(trainer.train_step, state, batch)
-    flops, bytes_ = _cost_analysis(trainer.train_step, state, batch)
+    step, flops, bytes_ = _aot(trainer.train_step, state, batch)
+    dt = _time_step(step, state, batch)
     return dt, _roofline(dt, flops, bytes_)
 
 
@@ -186,8 +187,8 @@ def bench_mace(batch):
         model, {"type": "AdamW", "learning_rate": 1e-3}, precision="bf16"
     )
     state = trainer.init_state(batch)
-    dt = _time_step(trainer.train_step, state, batch)
-    flops, bytes_ = _cost_analysis(trainer.train_step, state, batch)
+    step, flops, bytes_ = _aot(trainer.train_step, state, batch)
+    dt = _time_step(step, state, batch)
     return dt, _roofline(dt, flops, bytes_)
 
 
@@ -205,8 +206,8 @@ def bench_gps(batch, attn_type="multihead"):
         model, {"type": "AdamW", "learning_rate": 1e-3}, precision="bf16"
     )
     state = trainer.init_state(batch)
-    dt = _time_step(trainer.train_step, state, batch)
-    flops, bytes_ = _cost_analysis(trainer.train_step, state, batch)
+    step, flops, bytes_ = _aot(trainer.train_step, state, batch)
+    dt = _time_step(step, state, batch)
     return dt, _roofline(dt, flops, bytes_)
 
 
@@ -235,8 +236,8 @@ def bench_force_step(batch):
         precision="bf16",
     )
     state = trainer.init_state(batch)
-    dt = _time_step(trainer.train_step, state, batch)
-    flops, bytes_ = _cost_analysis(trainer.train_step, state, batch)
+    step, flops, bytes_ = _aot(trainer.train_step, state, batch)
+    dt = _time_step(step, state, batch)
     return dt, _roofline(dt, flops, bytes_)
 
 
