@@ -300,7 +300,9 @@ def _make_loaders(config: Dict, train, val, test):
     if workers > 0:
         from hydragnn_tpu.data.prefetch import PrefetchLoader
 
-        loaders = tuple(PrefetchLoader(ld, depth=2) for ld in loaders)
+        loaders = tuple(
+            PrefetchLoader(ld, depth=2, workers=workers) for ld in loaders
+        )
     return loaders
 
 

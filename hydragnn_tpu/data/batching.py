@@ -315,24 +315,35 @@ class PaddedBatcher:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self) -> Iterator[GraphBatch]:
+    def batch_indices(self, epoch: int):
+        """Per-epoch list of sample-index chunks (one per batch) — lets a
+        worker pool build batches concurrently (data/prefetch.py)."""
         idx = np.arange(len(self.samples))
         if self.shuffle:
-            rng = np.random.default_rng(self.seed + self.epoch)
+            rng = np.random.default_rng(self.seed + epoch)
             rng.shuffle(idx)
-        n_node, n_edge, n_graph = self.dims
+        chunks = []
         for start in range(0, len(idx), self.batch_size):
             chunk = idx[start : start + self.batch_size]
             if len(chunk) < self.batch_size and self.drop_last:
                 break
-            yield collate(
-                [self.samples[i] for i in chunk],
-                n_node,
-                n_edge,
-                n_graph,
-                n_triplet=self.n_triplet,
-                agg_plan=self.agg_plan,
-            )
+            chunks.append(chunk)
+        return chunks
+
+    def build(self, chunk) -> GraphBatch:
+        n_node, n_edge, n_graph = self.dims
+        return collate(
+            [self.samples[i] for i in chunk],
+            n_node,
+            n_edge,
+            n_graph,
+            n_triplet=self.n_triplet,
+            agg_plan=self.agg_plan,
+        )
+
+    def __iter__(self) -> Iterator[GraphBatch]:
+        for chunk in self.batch_indices(self.epoch):
+            yield self.build(chunk)
 
 
 class BucketedBatcher:

@@ -17,27 +17,60 @@ from typing import Iterator, Optional
 
 
 class PrefetchLoader:
-    """Wrap any epoch-iterable loader; prefetch up to ``depth`` batches."""
+    """Wrap any epoch-iterable loader; prefetch up to ``depth`` batches.
+
+    With ``workers > 1`` and a loader exposing ``batch_indices(epoch)`` /
+    ``build(chunk)`` (PaddedBatcher does), batches are built CONCURRENTLY
+    by a thread pool in submission order — the analogue of the reference's
+    multi-worker ``HydraDataLoader`` pool (``load_data.py:94-204``; numpy
+    collation releases the GIL in the hot copies)."""
 
     _SENTINEL = object()
 
-    def __init__(self, loader, depth: int = 2, affinity: Optional[list] = None):
+    def __init__(
+        self,
+        loader,
+        depth: int = 2,
+        affinity: Optional[list] = None,
+        workers: int = 1,
+    ):
         self.loader = loader
         self.depth = depth
+        self.workers = max(int(workers), 1)
         self.affinity = affinity
+        self._epoch = 0
         if affinity is None:
             env = os.environ.get("HYDRAGNN_TPU_AFFINITY")
             if env:
                 self.affinity = [int(x) for x in env.split(",")]
 
     def set_epoch(self, epoch: int):
+        self._epoch = epoch
         if hasattr(self.loader, "set_epoch"):
             self.loader.set_epoch(epoch)
 
     def __len__(self):
         return len(self.loader)
 
+    def _iter_pool(self) -> Iterator:
+        from concurrent.futures import ThreadPoolExecutor
+
+        chunks = self.loader.batch_indices(self._epoch)
+        window = self.depth * self.workers
+        with ThreadPoolExecutor(max_workers=self.workers) as ex:
+            pending = []
+            it = iter(chunks)
+            for chunk in it:
+                pending.append(ex.submit(self.loader.build, chunk))
+                if len(pending) >= window:
+                    yield pending.pop(0).result()
+            for fut in pending:
+                yield fut.result()
+
     def __iter__(self) -> Iterator:
+        if self.workers > 1 and hasattr(self.loader, "batch_indices"):
+            yield from self._iter_pool()
+            return
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         err = []
 

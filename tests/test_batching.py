@@ -138,3 +138,37 @@ def test_bucketed_batcher_epoch_shuffling_and_dp_grouping():
     state = tr.init_state(next(iter(loader)))
     state, loss, _ = tr.run_epoch(state, loader)
     assert np.isfinite(loss)
+
+
+def test_prefetch_worker_pool_matches_serial():
+    """Multi-worker prefetch builds the same batches in the same order as
+    the serial iterator (HydraDataLoader pool analogue)."""
+    from hydragnn_tpu.data.batching import PaddedBatcher, compute_batch_dims
+    from hydragnn_tpu.data.prefetch import PrefetchLoader
+    from hydragnn_tpu.data.synthetic import deterministic_graph_data
+    from hydragnn_tpu.data.pipeline import normalize_minmax, select_variables
+    from hydragnn_tpu.data.radius_graph import radius_graph
+
+    samples = deterministic_graph_data(20, seed=3)
+    var = {"input_node_features": [0], "output_index": [0], "type": ["graph"]}
+    normalize_minmax(samples, [1, 1, 1], [1])
+    select_variables(samples, var, [1, 1, 1], [1])
+    for s in samples:
+        s.edge_index = radius_graph(s.pos, 2.0, 100)
+    dims = compute_batch_dims(samples, 8)
+    base = PaddedBatcher(samples, 8, shuffle=True, seed=5, dims=dims)
+    pool = PrefetchLoader(
+        PaddedBatcher(samples, 8, shuffle=True, seed=5, dims=dims),
+        depth=2,
+        workers=4,
+    )
+    base.set_epoch(3)
+    pool.set_epoch(3)
+    serial = list(base)
+    parallel = list(pool)
+    assert len(serial) == len(parallel)
+    for a, b in zip(serial, parallel):
+        np.testing.assert_array_equal(np.asarray(a.x), np.asarray(b.x))
+        np.testing.assert_array_equal(
+            np.asarray(a.senders), np.asarray(b.senders)
+        )
