@@ -285,3 +285,29 @@ def test_cfg_roundtrip_and_bulk_target(tmp_path):
     assert g.y_raw.shape == (1,) and 150.0 < float(g.y_raw[0]) < 260.0
     # positions inside the cell
     assert g.pos.min() >= -1.0 and g.pos.max() <= float(g.cell[0, 0]) + 1.0
+
+
+def test_mol_from_xyz_bond_perception():
+    """xyz2mol analogue: geometry -> bonds with valence-driven orders
+    (ethene C=C double bond, ethane C-C single, HCN triple)."""
+    from hydragnn_tpu.data.smiles import mol_from_xyz
+
+    def cc_order(z, pos, a=0, b=1):
+        g = mol_from_xyz(np.asarray(z), np.asarray(pos))
+        ei = g.edge_index
+        for k in range(ei.shape[1]):
+            if set(ei[:, k].tolist()) == {a, b}:
+                return int(np.argmax(g.edge_attr[k]))
+        raise AssertionError("bond not found")
+
+    ethene = ([6, 6, 1, 1, 1, 1],
+              [[0, 0, 0], [1.33, 0, 0], [-0.56, 0.92, 0], [-0.56, -0.92, 0],
+               [1.89, 0.92, 0], [1.89, -0.92, 0]])
+    assert cc_order(*ethene) == 1  # double
+    ethane = ([6, 6, 1, 1, 1, 1, 1, 1],
+              [[0, 0, 0], [1.54, 0, 0],
+               [-0.5, 1.0, 0], [-0.5, -0.5, 0.85], [-0.5, -0.5, -0.85],
+               [2.04, 1.0, 0], [2.04, -0.5, 0.85], [2.04, -0.5, -0.85]])
+    assert cc_order(*ethane) == 0  # single
+    hcn = ([1, 6, 7], [[-1.07, 0, 0], [0, 0, 0], [1.16, 0, 0]])
+    assert cc_order(*hcn, a=1, b=2) == 2  # triple
