@@ -144,7 +144,7 @@ def main():
                 "radius": 5.0,
                 "max_neighbours": 32,
                 "periodic_boundary_conditions": True,
-                "hidden_dim": 32,
+                "hidden_dim": 64,
                 "num_conv_layers": 2,
                 "max_ell": 2,
                 "node_max_ell": 1,
@@ -154,7 +154,7 @@ def main():
                 "enable_interatomic_potential": True,
                 "energy_weight": 1.0,
                 "energy_peratom_weight": 1.0,
-                "force_weight": 10.0,
+                "force_weight": 50.0,
                 "output_heads": {
                     "node": {
                         "num_headlayers": 2,
@@ -176,7 +176,7 @@ def main():
                 "perc_train": 0.8,
                 "loss_function_type": "mae",
                 "batch_size": 8,
-                "Optimizer": {"type": "AdamW", "learning_rate": 0.002},
+                "Optimizer": {"type": "AdamW", "learning_rate": 0.004},
             },
         },
         "Visualization": {"create_plots": False},

@@ -36,6 +36,18 @@ def main():
     ap.add_argument("--num_epoch", type=int, default=None)
     ap.add_argument("--num_samples", type=int, default=None)
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument(
+        "--preonly",
+        action="store_true",
+        help="convert the raw corpus into the sharded container format and "
+        "exit (reference --preonly pattern, LennardJones.py:62-66); a later "
+        "run with --container trains from the converted store",
+    )
+    ap.add_argument(
+        "--container",
+        action="store_true",
+        help="train from the converted container instead of raw xyz",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -59,9 +71,34 @@ def main():
     if args.num_samples:
         config["Dataset"]["num_samples"] = args.num_samples
     # dataset path relative to this example dir (reference pattern)
-    config["Dataset"]["path"]["total"] = os.path.join(
+    raw_root = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "dataset", "qm9", "raw"
     )
+    config["Dataset"]["path"]["total"] = raw_root
+    cont_root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "dataset", "qm9", "container"
+    )
+
+    if args.preonly:
+        from hydragnn_tpu.data.container import GraphContainerWriter
+        from hydragnn_tpu.data.qm9 import (
+            load_qm9_directory,
+            synthesize_qm9_directory,
+        )
+
+        if not os.path.isdir(raw_root) or not os.listdir(raw_root):
+            synthesize_qm9_directory(
+                raw_root, int(config["Dataset"].get("num_samples", 1000)), seed=0
+            )
+        samples = load_qm9_directory(
+            raw_root, limit=config["Dataset"].get("num_samples")
+        )
+        GraphContainerWriter(cont_root).write(samples)
+        print(f"[qm9] wrote {len(samples)} samples -> {cont_root}")
+        return None
+    if args.container:
+        config["Dataset"]["format"] = "container"
+        config["Dataset"]["path"]["total"] = cont_root
 
     from hydragnn_tpu.api import run_training
 

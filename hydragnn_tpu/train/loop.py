@@ -263,9 +263,13 @@ def train_validate_test(
         except Exception:
             ckpt_mngr = None
 
-    # ReduceLROnPlateau state (torch semantics, factor/patience/min_lr as in
-    # reference run_training.py:119-121)
-    sched_factor, sched_patience, min_lr = 0.5, 5, 1e-5
+    # ReduceLROnPlateau state (torch semantics; reference run_training.py:
+    # 119-121 hard-codes factor=0.5/patience=5/min_lr=1e-5 — here they are
+    # overridable via Training.scheduler for slow-converging force fits)
+    sched_cfg = training.get("scheduler", {}) or {}
+    sched_factor = float(sched_cfg.get("factor", 0.5))
+    sched_patience = int(sched_cfg.get("patience", 5))
+    min_lr = float(sched_cfg.get("min_lr", 1e-5))
     sched_best = float("inf")
     sched_bad = 0
 
