@@ -308,3 +308,163 @@ def test_gatv2_golden():
             )
         expected[i] = np.concatenate(per_head) + bias
     np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_cfconv_golden():
+    """SchNet CFConv (PyG semantics, SCFStack.py:222-301): filter net on
+    Gaussian-smeared distances x cosine cutoff, W * lin1(x_src) summed at
+    receivers, then lin2 — computed independently in numpy."""
+    import math
+
+    from hydragnn_tpu.models.geometric import CFConv
+
+    g, inv, ctx, s = make_graph()
+    pos = jnp.asarray(np.pad(np.asarray(s.pos), ((0, 8 - N), (0, 0))))
+    conv = CFConv(out_dim=F_OUT, num_filters=5, num_gaussians=7, cutoff=4.0)
+    params = conv.init(jax.random.PRNGKey(0), g, inv, pos, ctx)["params"]
+    p = jax.tree.map(np.asarray, params)
+    out, _ = conv.apply({"params": params}, g, inv, pos, ctx)
+    out = np.asarray(out)[:N]
+
+    x = np.asarray(inv)[:N]
+    posn = np.asarray(s.pos)
+    # numpy golden
+    vec = posn[DST] - posn[SRC]
+    dist = np.linalg.norm(vec, axis=1)
+    offs = np.linspace(0.0, 4.0, 7)
+    coeff = -0.5 / (offs[1] - offs[0]) ** 2
+    rbf = np.exp(coeff * (dist[:, None] - offs[None, :]) ** 2)
+    C = np.where(dist < 4.0, 0.5 * (np.cos(np.pi * dist / 4.0) + 1.0), 0.0)
+    w = rbf @ p["fnet_0"]["kernel"] + p["fnet_0"]["bias"]
+    w = np.logaddexp(0, w) - math.log(2.0)  # shifted softplus
+    w = w @ p["fnet_1"]["kernel"] + p["fnet_1"]["bias"]
+    W = w * C[:, None]
+    h = x @ p["lin1"]["kernel"]
+    msg = h[SRC] * W
+    agg = np.zeros((N, 5), np.float64)
+    np.add.at(agg, DST, msg)
+    gold = agg @ p["lin2"]["kernel"] + p["lin2"]["bias"]
+    np.testing.assert_allclose(out, gold, rtol=1e-4, atol=1e-5)
+
+
+def test_egcl_golden():
+    """EGNN / E_GCL (EGCLStack.py:180-291): split edge MLP on (h_src,
+    h_dst, |r|), relu, out linear, relu; sender-aggregated message into the
+    node MLP — plus the tanh coordinate update mean-aggregated at senders."""
+    from hydragnn_tpu.models.geometric import EGCLConv
+
+    g, inv, ctx, s = make_graph()
+    pos = jnp.asarray(np.pad(np.asarray(s.pos), ((0, 8 - N), (0, 0))))
+    conv = EGCLConv(out_dim=F_OUT, hidden_dim=5, equivariant=True)
+    params = conv.init(jax.random.PRNGKey(1), g, inv, pos, ctx)["params"]
+    p = jax.tree.map(np.asarray, params)
+    out, new_pos = conv.apply({"params": params}, g, inv, pos, ctx)
+    out = np.asarray(out)[:N]
+    new_pos = np.asarray(new_pos)[:N]
+
+    x = np.asarray(inv)[:N].astype(np.float64)
+    posn = np.asarray(s.pos).astype(np.float64)
+    vec = posn[DST] - posn[SRC]
+    dist = np.linalg.norm(vec, axis=1, keepdims=True)
+    vec_n = vec / (dist + 1.0)
+
+    def relu(a):
+        return np.maximum(a, 0)
+
+    ef = (
+        (x @ p["edge_mlp_src"]["kernel"] + p["edge_mlp_src"]["bias"])[SRC]
+        + (x @ p["edge_mlp_dst"]["kernel"])[DST]
+        + dist @ p["edge_mlp_rad"]["kernel"]
+    )
+    ef = relu(ef)
+    ef = relu(ef @ p["edge_mlp_out"]["kernel"] + p["edge_mlp_out"]["bias"])
+
+    # coordinate update: tanh(coord MLP), mean at SENDERS
+    cm = relu(ef @ p["coord_0"]["kernel"] + p["coord_0"]["bias"])
+    cm = np.tanh(cm @ p["coord_out"]["kernel"])
+    trans = np.clip(vec_n * cm, -100.0, 100.0)
+    upd = np.zeros((N, 3))
+    cnt = np.zeros((N,))
+    np.add.at(upd, SRC, trans)
+    np.add.at(cnt, SRC, 1.0)
+    gold_pos = posn + upd / np.maximum(cnt, 1.0)[:, None]
+    np.testing.assert_allclose(new_pos, gold_pos, rtol=1e-4, atol=1e-5)
+
+    # node update: sender-aggregated messages
+    agg = np.zeros((N, 5))
+    np.add.at(agg, SRC, ef)
+    z = np.concatenate([x, agg], axis=1)
+    h = relu(z @ p["node_mlp"]["dense_0"]["kernel"] + p["node_mlp"]["dense_0"]["bias"])
+    gold = h @ p["node_mlp"]["dense_1"]["kernel"] + p["node_mlp"]["dense_1"]["bias"]
+    np.testing.assert_allclose(out, gold, rtol=1e-4, atol=1e-5)
+
+
+def test_painn_golden():
+    """PaiNN message+update (PAINNStack.py:194-328): sinc-filter gated
+    scalar/vector messages gathered at receivers and aggregated at senders,
+    U/V inner-product update, embed-out MLPs — numpy golden including the
+    [N, 3, F] vector channel."""
+    from hydragnn_tpu.models.geometric import PainnConv
+
+    g, inv, ctx, s = make_graph()
+    F = 5
+    posn = np.asarray(s.pos).astype(np.float64)
+    vec = posn[DST] - posn[SRC]
+    dist = np.linalg.norm(vec, axis=1, keepdims=True)
+    diff = vec / dist
+    # ctx as PAINNStack.embedding builds it (normalized diff + lengths)
+    ctx = dict(ctx)
+    pd = np.zeros((8, 3)); pd[:E] = diff
+    dd = np.ones((8, 1)); dd[:E] = dist
+    ctx["diff"] = jnp.asarray(pd.astype(np.float32))
+    ctx["dist"] = jnp.asarray(dd.astype(np.float32))
+    equiv = jnp.asarray(
+        np.random.default_rng(7).normal(size=(8, 3, F)).astype(np.float32)
+    )
+    inv5 = jnp.asarray(
+        np.random.default_rng(8).normal(size=(8, F)).astype(np.float32)
+    )
+    conv = PainnConv(node_size=F, out_dim=F, num_radial=6, cutoff=4.0)
+    params = conv.init(jax.random.PRNGKey(2), g, inv5, equiv, ctx)["params"]
+    p = jax.tree.map(lambda a: np.asarray(a, np.float64), params)
+    s_out, v_out = conv.apply({"params": params}, g, inv5, equiv, ctx)
+    s_out = np.asarray(s_out)[:N]
+    v_out = np.asarray(v_out)[:N]
+
+    x = np.asarray(inv5, np.float64)[:8]
+    veq = np.asarray(equiv, np.float64)[:8]
+
+    def silu(a):
+        return a / (1 + np.exp(-a))
+
+    def mlp(z, pp, act):
+        z = act(z @ pp["dense_0"]["kernel"] + pp["dense_0"]["bias"])
+        return z @ pp["dense_1"]["kernel"] + pp["dense_1"]["bias"]
+
+    n_arr = np.arange(1, 7)
+    sinc = np.sin(dist * n_arr * np.pi / 4.0) / dist  # [E, 6]
+    filt = sinc @ p["filter_layer"]["kernel"] + p["filter_layer"]["bias"]
+    C = np.where(dist < 4.0, 0.5 * (np.cos(np.pi * dist / 4.0) + 1.0), 0.0)
+    filt = filt * C
+    scal = mlp(x, p["scalar_message_mlp"], silu)
+    fo = filt * scal[DST]
+    gate_v, gate_e, msg_s = np.split(fo, 3, axis=-1)
+    msg_v = veq[DST] * gate_v[:, None, :] + gate_e[:, None, :] * (diff / dist)[:, :, None]
+    s_mid = x.copy()
+    np.add.at(s_mid, SRC, msg_s)
+    v_mid = veq.copy()
+    np.add.at(v_mid, SRC, msg_v)
+
+    Uv = v_mid @ p["update_U"]["kernel"] + p["update_U"]["bias"]
+    Vv = v_mid @ p["update_V"]["kernel"] + p["update_V"]["bias"]
+    Vn = np.sqrt(np.sum(Vv * Vv, axis=1) + 1e-12)
+    mo = mlp(np.concatenate([Vn, s_mid], axis=-1), p["update_mlp"], silu)
+    inner = np.sum(Uv * Vv, axis=1)
+    a_vv, a_sv, a_ss = np.split(mo, 3, axis=-1)
+    v_new = v_mid + a_vv[:, None, :] * Uv
+    s_new = s_mid + a_sv * inner + a_ss
+
+    s_gold = mlp(s_new, p["node_embed_out"], np.tanh)
+    v_gold = v_new @ p["vec_embed_out"]["kernel"] + p["vec_embed_out"]["bias"]
+    np.testing.assert_allclose(s_out, s_gold[:N], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(v_out, v_gold[:N], rtol=2e-4, atol=2e-5)
