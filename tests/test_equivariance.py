@@ -296,3 +296,54 @@ def test_normalize_rotation_canonicalizes():
                 np.abs(col_a - col_b).max() < 1e-3
                 or np.abs(col_a + col_b).max() < 1e-3
             )
+
+
+def test_force_equivariance_preserved_after_training():
+    """Short MLIP training preserves F(Rx)=RF(x) (the reference's
+    test_forces_equivariant_training.py): equivariance must hold for the
+    TRAINED parameters, not just the init."""
+    import copy
+    import dataclasses
+
+    from hydragnn_tpu.models.create import create_model
+    from hydragnn_tpu.models.mlip import energy_force_loss
+
+    samples = lennard_jones_data(12, seed=21)
+    for s in samples:
+        s.edge_index = radius_graph(s.pos, 3.0, 32)
+    cfg = _mlip_cfg()
+    model = create_model("EGNN", cfg)
+    weights = {
+        "energy_weight": 1.0,
+        "energy_peratom_weight": 1.0,
+        "force_weight": 10.0,
+    }
+    tr = Trainer(model, {"type": "Adam", "learning_rate": 3e-3}, mlip=weights)
+    b = _batch(samples)
+    state = tr.init_state(b)
+    for _ in range(12):  # short but real training
+        state, loss, _ = tr.train_step(state, b)
+    assert np.isfinite(float(loss))
+
+    _, _, _, forces, energy = energy_force_loss(
+        model, state.params, state.batch_stats, b, weights
+    )
+    R = _rot(3)
+    rotated = copy.deepcopy(samples)
+    for s in rotated:
+        s.pos = s.pos @ R.T
+    b2 = _batch(rotated)
+    _, _, _, forces2, energy2 = energy_force_loss(
+        model, state.params, state.batch_stats, b2, weights
+    )
+    gm = np.asarray(b.graph_mask)
+    nm = np.asarray(b.node_mask)
+    np.testing.assert_allclose(
+        np.asarray(energy)[gm], np.asarray(energy2)[gm], rtol=2e-3, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(forces)[nm] @ R.T,
+        np.asarray(forces2)[nm],
+        rtol=5e-3,
+        atol=5e-4,
+    )
