@@ -554,3 +554,155 @@ def test_dimenet_golden():
     node_o = silu(lin(node_o, p["out_lin_0"]))
     gold = lin(node_o, p["out_lin"])
     np.testing.assert_allclose(out, gold, rtol=2e-4, atol=2e-5)
+
+
+def test_pnaplus_golden():
+    """PNAPlus (PNAPlusStack.py:144-304): split pre-linear on (x_i, x_j,
+    edge-encoded rbf), Hadamard with a projected Bessel rbf, PNA
+    aggregator/scaler set — numpy golden with rbf injected via ctx."""
+    from hydragnn_tpu.models.geometric import PNAPlusConv
+    from hydragnn_tpu.models.invariant import pna_degree_stats
+
+    g, inv, ctx, s = make_graph()
+    stats = pna_degree_stats(np.bincount([1, 1, 2, 2]))
+    rng = np.random.default_rng(17)
+    R = 4
+    rbf = np.zeros((8, R), np.float32)
+    rbf[:E] = rng.normal(size=(E, R))
+    ctx = dict(ctx, rbf=jnp.asarray(rbf))
+
+    conv = PNAPlusConv(
+        in_dim=F_IN, out_dim=F_OUT,
+        avg_deg_lin=stats["lin"], avg_deg_log=stats["log"], num_radial=R,
+    )
+    params = conv.init(jax.random.PRNGKey(4), g, inv, None, ctx)["params"]
+    p = jax.tree.map(lambda a: np.asarray(a, np.float64), params)
+    out, _ = conv.apply({"params": params}, g, inv, None, ctx)
+    out = np.asarray(out)[:N]
+
+    x = np.asarray(s.x).astype(np.float64)
+    rbf_e = rbf[:E].astype(np.float64)
+    rbf_emb = np.maximum(rbf_e @ p["rbf_emb"]["kernel"] + p["rbf_emb"]["bias"], 0)
+    h_edge = (
+        (x @ p["pre_nn_i"]["kernel"] + p["pre_nn_i"]["bias"])[DST]
+        + (x @ p["pre_nn_j"]["kernel"])[SRC]
+        + rbf_emb @ p["pre_nn_e"]["kernel"]
+    )
+    h_edge = h_edge * (rbf_e @ p["rbf_lin"]["kernel"])
+
+    expected = np.zeros((N, F_OUT))
+    for i in range(N):
+        nb = in_edges(i, SRC, DST)
+        H = h_edge[nb]
+        mean = H.mean(0)
+        mn = H.min(0)
+        mx = H.max(0)
+        std = np.sqrt(np.maximum(np.mean(H * H, 0) - mean * mean, 0.0) + 1e-5)
+        aggs = np.concatenate([mean, mn, mx, std])
+        d = float(len(nb))
+        amp = np.log(d + 1.0) / stats["log"]
+        att = stats["log"] / np.log(d + 1.0)
+        lin_s = d / stats["lin"]
+        scaled = np.concatenate([aggs, aggs * amp, aggs * att, aggs * lin_s])
+        z = np.concatenate([x[i], scaled])
+        z = z @ p["post_nn"]["kernel"] + p["post_nn"]["bias"]
+        expected[i] = z @ p["lin"]["kernel"] + p["lin"]["bias"]
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_pnaeq_golden():
+    """PNAEq (PNAEqStack.py:240-478): PaiNN-style gated scalar/vector
+    messages, degree-scaled PNA aggregation at the sender with 5 scalers
+    (incl. inverse_linear), PaiNN update, embed-out — numpy golden."""
+    from hydragnn_tpu.models.geometric import PNAEqConv
+    from hydragnn_tpu.models.invariant import pna_degree_stats
+
+    g, inv, ctx, s = make_graph()
+    # out-degrees (aggregation at SENDERS): SRC = [3,0,0,1,1,2]
+    stats = pna_degree_stats(np.bincount([2, 2, 1, 1]))
+    F = 4
+    rng = np.random.default_rng(23)
+    R = 5
+    rbf = np.zeros((8, R), np.float32)
+    rbf[:E] = rng.normal(size=(E, R))
+    posn = np.asarray(s.pos).astype(np.float64)
+    vec = posn[DST] - posn[SRC]
+    dist = np.linalg.norm(vec, axis=1, keepdims=True)
+    diffn = np.zeros((8, 3), np.float32)
+    diffn[:E] = (vec / dist).astype(np.float32)
+    ctx = dict(ctx, pnaeq_rbf=jnp.asarray(rbf), diff=jnp.asarray(diffn))
+    inv4 = jnp.asarray(rng.normal(size=(8, F)).astype(np.float32))
+    equiv = jnp.asarray(rng.normal(size=(8, 3, F)).astype(np.float32))
+
+    conv = PNAEqConv(
+        node_size=F, out_dim=F, num_radial=R, cutoff=4.0,
+        avg_deg_lin=stats["lin"], avg_deg_log=stats["log"],
+    )
+    params = conv.init(jax.random.PRNGKey(5), g, inv4, equiv, ctx)["params"]
+    p = jax.tree.map(lambda a: np.asarray(a, np.float64), params)
+    s_out, v_out = conv.apply({"params": params}, g, inv4, equiv, ctx)
+    s_out = np.asarray(s_out)[:N]
+    v_out = np.asarray(v_out)[:N]
+
+    def silu(a):
+        return a / (1 + np.exp(-a))
+
+    def lin(z, pp):
+        return z @ pp["kernel"] + (pp["bias"] if "bias" in pp else 0.0)
+
+    def mlp(z, pp, act):
+        return lin(act(lin(z, pp["dense_0"])), pp["dense_1"])
+
+    x = np.asarray(inv4, np.float64)[:8]
+    veq = np.asarray(equiv, np.float64)[:8]
+    rbf_e = rbf[:E].astype(np.float64)
+    parts = np.concatenate(
+        [x[SRC], x[DST], np.tanh(lin(rbf_e, p["rbf_emb"]))], axis=-1
+    )
+    ms = lin(parts, p["pre_nn"])
+    so = mlp(ms, p["smm_a"], np.tanh)
+    so = silu(so)
+    so = lin(so, p["smm_b"])
+    filt = so * (rbf_e @ p["rbf_lin"]["kernel"])
+    gate_v, gate_e, msg_s = np.split(filt, 3, axis=-1)
+    msg_v = veq[DST] * gate_v[:, None, :] + gate_e[:, None, :] * diffn[:E].astype(np.float64)[:, :, None]
+
+    expected_s = np.zeros((8, F))
+    deg = np.zeros(8)
+    np.add.at(deg, SRC, 1.0)
+    agg_rows = np.zeros((8, 4 * F))
+    for i in range(N):
+        out_e = [k for k in range(E) if SRC[k] == i]
+        if not out_e:
+            continue
+        H = msg_s[out_e]
+        mean = H.mean(0)
+        mn = H.min(0)
+        mx = H.max(0)
+        std = np.sqrt(np.maximum(np.mean(H * H, 0) - mean * mean, 0.0) + 1e-5)
+        agg_rows[i] = np.concatenate([mean, mn, mx, std])
+    logd = np.log(deg + 1.0)
+    logd_c = np.log(np.maximum(deg, 1.0) + 1.0)
+    amp = (logd / stats["log"])[:, None]
+    att = (stats["log"] / logd_c)[:, None]
+    linear = (deg / stats["lin"])[:, None]
+    inv_lin = (stats["lin"] / np.maximum(deg, 1.0))[:, None]
+    scaled = np.concatenate(
+        [agg_rows, agg_rows * amp, agg_rows * att, agg_rows * linear,
+         agg_rows * inv_lin], axis=-1
+    )
+    s_mid = x + lin(np.concatenate([x, scaled], axis=-1), p["post_nn"])
+    v_mid = veq.copy()
+    np.add.at(v_mid, SRC, msg_v)
+
+    Xv = lin(v_mid, p["update_X"])
+    Vv = lin(v_mid, p["update_V"])
+    Vn = np.sqrt(np.sum(Vv * Vv, axis=1) + 1e-12)
+    mo = mlp(np.concatenate([Vn, s_mid], axis=-1), p["update_mlp"], silu)
+    inner = np.sum(Xv * Vv, axis=1)
+    a_vv, a_xv, a_xx = np.split(mo, 3, axis=-1)
+    v_new = v_mid + a_vv[:, None, :] * Xv
+    s_new = s_mid + a_xv * inner + a_xx
+
+    s_gold = mlp(s_new, p["node_embed_out"], np.tanh)
+    np.testing.assert_allclose(s_out, s_gold[:N], rtol=2e-4, atol=2e-5)
