@@ -133,3 +133,53 @@ def test_radial_embedding_combinations(radial_type, transform):
     zf = jnp.asarray([6])
     out_far = m.apply(m.init(jax.random.PRNGKey(0), far, zf, zf), far, zf, zf)
     np.testing.assert_allclose(np.asarray(out_far), 0.0, atol=1e-6)
+
+
+def test_spherical_basis_formula_properties():
+    """DimeNet SBF (models/spherical.py) against closed forms: j_0 zeros are
+    n*pi; the l=0 radial part equals N * env * sin(z d)/(z d) * Y_00; the
+    angular factor is sqrt((2l+1)/4pi) P_l(cos a) (P_1 = cos, P_2 =
+    (3cos^2-1)/2)."""
+    import math
+
+    from hydragnn_tpu.models.radial import polynomial_envelope
+    from hydragnn_tpu.models.spherical import (
+        bessel_normalizers,
+        bessel_zeros,
+        spherical_basis,
+    )
+
+    L, K = 3, 4
+    z = bessel_zeros(L, K)
+    np.testing.assert_allclose(z[0], np.arange(1, K + 1) * np.pi, rtol=1e-10)
+    # zeros really are roots and interlace
+    from hydragnn_tpu.models.spherical import _sph_jn_np
+
+    for l in range(L):
+        vals = _sph_jn_np(l, z[l])[l]
+        assert np.abs(vals).max() < 1e-8
+        if l:
+            assert np.all(z[l - 1, : K - 1] < z[l, : K - 1])
+
+    d = np.asarray([0.3, 0.55, 0.9], np.float64)
+    angle = np.asarray([0.2, 1.1, 2.4], np.float64)
+    kj = np.asarray([0, 1, 2])
+    sbf = np.asarray(
+        spherical_basis(jnp.asarray(d), jnp.asarray(angle), jnp.asarray(kj), L, K)
+    )
+    assert sbf.shape == (3, L * K)
+
+    norm = bessel_normalizers(L, K)
+    env = np.asarray(polynomial_envelope(jnp.asarray(d), 5))
+    y00 = math.sqrt(1.0 / (4 * math.pi))
+    for n in range(K):
+        expect = norm[0, n] * np.sin(z[0, n] * d) / (z[0, n] * d) * env * y00
+        np.testing.assert_allclose(sbf[:, n], expect, rtol=1e-5, atol=1e-7)
+    # angular ratios for fixed n: l=1 vs l=0 column
+    c = np.cos(angle)
+    ratio = sbf[:, K] / (norm[1, 0] * np.asarray(
+        _sph_jn_np(1, z[1, 0] * d)[1]
+    ) * env)
+    np.testing.assert_allclose(
+        ratio, math.sqrt(3.0 / (4 * math.pi)) * c, rtol=1e-5, atol=1e-7
+    )
