@@ -706,3 +706,47 @@ def test_pnaeq_golden():
 
     s_gold = mlp(s_new, p["node_embed_out"], np.tanh)
     np.testing.assert_allclose(s_out, s_gold[:N], rtol=2e-4, atol=2e-5)
+
+
+def test_mace_tp_conv_golden_own_conventions():
+    """MACE WeightedTPConv regression golden WITHIN this library's CG
+    conventions (coefficient parity with e3nn is a documented divergence;
+    this pins the contraction math itself): out_l3 = sum_paths
+    einsum(x_l1, sh_l2, C, w_path) / sqrt(#paths into l3), computed
+    independently in numpy from the same clebsch_gordan table."""
+    from hydragnn_tpu.equivariant.core import clebsch_gordan
+    from hydragnn_tpu.models.mace import WeightedTPConv
+
+    rng = np.random.default_rng(29)
+    Eq, mul = 6, 4
+    irreps = ((mul, 0), (mul, 1))
+    conv = WeightedTPConv(irreps_in=irreps, max_l_sh=1, max_l_out=1)
+    paths = conv.paths()
+    x = {l: jnp.asarray(rng.normal(size=(Eq, mul, 2 * l + 1)), jnp.float32)
+         for _, l in irreps}
+    sh = {l: jnp.asarray(rng.normal(size=(Eq, 2 * l + 1)), jnp.float32)
+          for l in range(2)}
+    w = jnp.asarray(rng.normal(size=(Eq, len(paths), mul)), jnp.float32)
+    params = conv.init(jax.random.PRNGKey(0), x, sh, w)
+    out = conv.apply(params, x, sh, w)
+
+    import math
+
+    acc = {}
+    counts = {}
+    for p_i, (l1, l2, l3) in enumerate(paths):
+        C = np.asarray(clebsch_gordan(l1, l2, l3))
+        t = np.einsum(
+            "eui,ej,ijk,eu->euk",
+            np.asarray(x[l1], np.float64),
+            np.asarray(sh[l2], np.float64),
+            C,
+            np.asarray(w[:, p_i, :], np.float64),
+        )
+        acc[l3] = acc.get(l3, 0.0) + t
+        counts[l3] = counts.get(l3, 0) + 1
+    for l3 in acc:
+        gold = acc[l3] / math.sqrt(counts[l3])
+        np.testing.assert_allclose(
+            np.asarray(out[l3]), gold, rtol=2e-4, atol=2e-5
+        )
