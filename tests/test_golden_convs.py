@@ -750,3 +750,53 @@ def test_mace_tp_conv_golden_own_conventions():
         np.testing.assert_allclose(
             np.asarray(out[l3]), gold, rtol=2e-4, atol=2e-5
         )
+
+
+def test_mace_symmetric_product_golden_own_conventions():
+    """SymmetricProduct (n-body product basis) regression golden within
+    this library's CG conventions: order-2 correlation = per-element w1*A
+    + w2*(A x A)|_CG with sqrt(#paths) normalization — direct numpy."""
+    from hydragnn_tpu.equivariant.core import clebsch_gordan
+    from hydragnn_tpu.models.mace import SymmetricProduct
+
+    rng = np.random.default_rng(31)
+    Nn, mul, n_elem = 5, 3, 4
+    irreps = ((mul, 0), (mul, 1))
+    mod = SymmetricProduct(irreps=irreps, correlation=2, num_elements=n_elem)
+    a = {l: jnp.asarray(rng.normal(size=(Nn, mul, 2 * l + 1)), jnp.float32)
+         for _, l in irreps}
+    attrs = jnp.asarray(
+        np.eye(n_elem, dtype=np.float32)[rng.integers(0, n_elem, Nn)]
+    )
+    params = mod.init(jax.random.PRNGKey(0), a, attrs)
+    out = mod.apply(params, a, attrs)
+
+    import math
+
+    p = jax.tree.map(lambda t: np.asarray(t, np.float64), params["params"])
+    attrs_n = np.asarray(attrs, np.float64)
+    an = {l: np.asarray(a[l], np.float64) for _, l in irreps}
+    ls = [0, 1]
+
+    def ew(name):
+        return attrs_n @ p[name]  # [N, mul]
+
+    gold = {l: an[l] * ew(f"w1_{l}")[:, :, None] for l in ls}
+    nxt = {}
+    counts = {}
+    for l1 in ls:
+        for l2 in ls:
+            for l3 in range(abs(l1 - l2), min(l1 + l2, 1) + 1):
+                if (l1 + l2 + l3) % 2 != 0 or l3 not in ls:
+                    continue
+                C = np.asarray(clebsch_gordan(l1, l2, l3))
+                t = np.einsum("nui,nuj,ijk->nuk", an[l1], an[l2], C)
+                nxt[l3] = nxt.get(l3, 0.0) + t
+                counts[l3] = counts.get(l3, 0) + 1
+    for l3 in nxt:
+        nxt[l3] = nxt[l3] / math.sqrt(counts[l3])
+        gold[l3] = gold[l3] + nxt[l3] * ew(f"w2_{l3}")[:, :, None]
+    for l in ls:
+        np.testing.assert_allclose(
+            np.asarray(out[l]), gold[l], rtol=2e-4, atol=2e-5
+        )
