@@ -13,6 +13,7 @@ reference's SyncBatchNorm conversion (``distributed.py:416``).
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import jax
@@ -155,6 +156,20 @@ class DataParallelTrainer:
         self.mesh = mesh
         self.n_dev = mesh.shape["data"]
         self.zero1 = bool(opt_config.get("use_zero_redundancy", False))
+        # FSDP / ZeRO-3 analogue (reference distributed.py:428-477,
+        # HYDRAGNN_USE_FSDP): params + grads + optimizer state ALL sharded.
+        # Params live as one flat vector split over the data axis; the
+        # forward all-gathers it (one tiled collective), and reverse-mode AD
+        # transposes that gather into the reduce-scatter of gradients, so
+        # each device updates only its 1/D shard — params are never
+        # materialized fully in optimizer state or updates.
+        self.fsdp = bool(opt_config.get("use_fsdp", False)) or os.environ.get(
+            "HYDRAGNN_TPU_USE_FSDP", ""
+        ) in ("1", "true")
+        if self.fsdp and self.zero1:
+            self.zero1 = False  # fsdp subsumes opt-state sharding
+        self._unravel = None
+        self._flat_len = None
         self._shard_map = shard_map
         cast_in = self._single._cast_in
         cast_grads = self._single._cast_grads
@@ -186,12 +201,58 @@ class DataParallelTrainer:
             tot, tasks = model.loss(out, batch)
             return tot.astype(jnp.float32), (jnp.stack(tasks), new_bs)
 
+        def fsdp_full_params(p_shard):
+            """All-gather this device's flat param shard and rebuild the
+            pytree; reverse-mode AD transposes the tiled all_gather into
+            the gradient reduce-scatter (FULL_SHARD semantics for free)."""
+            full = jax.lax.all_gather(p_shard, "data", tiled=True)
+            return self._unravel(full[: self._flat_len])
+
         def train_per_device(state, batch):
             batch = jax.tree.map(lambda x: x[0], batch)
             ng = batch.graph_mask.sum().astype(jnp.float32)
             denom = jnp.maximum(jax.lax.psum(ng, "data"), 1.0)
             rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), state.step)
             rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+
+            if self.fsdp:
+                def loss_flat(p_shard):
+                    params = fsdp_full_params(p_shard)
+                    loss, aux = loss_and_aux(
+                        params, state.batch_stats, batch, rng, True
+                    )
+                    # weight BEFORE differentiating: the reduce-scatter in
+                    # the all_gather transpose then yields exactly the
+                    # ng-weighted-mean gradient shard
+                    return loss * ng / denom, (loss, aux)
+
+                (_, (loss, (tasks, new_bs))), g_shard = jax.value_and_grad(
+                    loss_flat, has_aux=True
+                )(state.params)
+                g_shard = cast_grads(g_shard)
+                loss = jax.lax.psum(loss * ng, "data") / denom
+                tasks = jax.lax.psum(tasks * ng, "data") / denom
+                new_bs = jax.tree.map(
+                    lambda s: (
+                        jax.lax.psum(s.astype(jnp.float32) * ng, "data") / denom
+                    ).astype(jnp.float32)
+                    if jnp.issubdtype(s.dtype, jnp.floating)
+                    else jax.lax.pmax(s, "data"),
+                    new_bs,
+                )
+                upd, new_opt = self.tx.update(
+                    g_shard, state.opt_state, state.params
+                )
+                new_params = state.params + upd
+                from hydragnn_tpu.train.loop import TrainState
+
+                return (
+                    TrainState(
+                        params=new_params, batch_stats=new_bs,
+                        opt_state=new_opt, step=state.step + 1,
+                    ),
+                    loss, tasks, denom,
+                )
 
             (loss, (tasks, new_bs)), grads = jax.value_and_grad(
                 lambda p: loss_and_aux(p, state.batch_stats, batch, rng, True),
@@ -236,8 +297,9 @@ class DataParallelTrainer:
             batch = jax.tree.map(lambda x: x[0], batch)
             ng = batch.graph_mask.sum().astype(jnp.float32)
             denom = jnp.maximum(jax.lax.psum(ng, "data"), 1.0)
+            params = fsdp_full_params(state.params) if self.fsdp else state.params
             loss, (tasks, _) = loss_and_aux(
-                state.params, state.batch_stats, batch, None, False,
+                params, state.batch_stats, batch, None, False,
             )
             loss = jax.lax.psum(loss * ng, "data") / denom
             tasks = jax.lax.psum(tasks * ng, "data") / denom
@@ -272,9 +334,27 @@ class DataParallelTrainer:
         return new_params, new_opt
 
     def _state_specs(self, state):
+        from hydragnn_tpu.train.loop import TrainState
+
+        if self.fsdp:
+            opt_specs = jax.tree.map(
+                lambda x: P("data")
+                if (
+                    getattr(x, "ndim", 0) >= 1
+                    and x.shape[0] > 0
+                    and x.shape[0] % self.n_dev == 0
+                )
+                else P(),
+                state.opt_state,
+            )
+            return TrainState(
+                params=P("data"),  # flat vector sharded over the axis
+                batch_stats=jax.tree.map(lambda _: P(), state.batch_stats),
+                opt_state=opt_specs,
+                step=P(),
+            )
         if not self.zero1:
             return P()
-        from hydragnn_tpu.train.loop import TrainState
 
         opt_specs = jax.tree.map(
             lambda x: P("data")
@@ -317,6 +397,20 @@ class DataParallelTrainer:
     # single-device delegates -------------------------------------------------
     def init_state(self, example):
         state = self._single.init_state(example)
+        if self.fsdp:
+            from jax.flatten_util import ravel_pytree
+
+            flat_p, unravel = ravel_pytree(state.params)
+            self._unravel = unravel
+            self._flat_len = int(flat_p.size)
+            pad = (-flat_p.size) % self.n_dev
+            flat_p = jnp.concatenate(
+                [flat_p, jnp.zeros((pad,), flat_p.dtype)]
+            )
+            state = state.replace(
+                params=flat_p, opt_state=self.tx.init(flat_p)
+            )
+            return self.place_state(state)
         if self.zero1:
             from jax.flatten_util import ravel_pytree
 
@@ -327,6 +421,14 @@ class DataParallelTrainer:
             )
             state = state.replace(opt_state=self.tx.init(flat_p))
         return state
+
+    def full_params(self, state):
+        """Rebuild the replicated param pytree from an FSDP-sharded state
+        (for prediction / final export)."""
+        if not self.fsdp:
+            return state.params
+        flat = jax.device_get(state.params)[: self._flat_len]
+        return self._unravel(jnp.asarray(flat))
 
     def place_state(self, state):
         """device_put every leaf with its mesh sharding (replicated, or
@@ -346,6 +448,15 @@ class DataParallelTrainer:
 
     @property
     def predict_step(self):
+        if self.fsdp:
+            single = self._single.predict_step
+
+            def step(state, batch):
+                return single(
+                    state.replace(params=self.full_params(state)), batch
+                )
+
+            return step
         return self._single.predict_step
 
     @property
