@@ -95,6 +95,16 @@ class GraphBatch:
     # (tile_nodes, tile_edges, max_blocks) -- static so jit sees constants
     agg_meta: Optional[tuple] = struct.field(pytree_node=False, default=None)
 
+    # --- giant-graph halo view (parallel/halo.py) ---
+    # When set, this batch is ONE SHARD of a node-partitioned giant graph
+    # inside shard_map: node arrays are [block + S*h] (local block followed
+    # by halo copies of remote nodes), edges are local, and the stack
+    # refreshes the halo region from the owner shards with one tiled
+    # all_to_all before each conv layer (models/base.py halo_refresh).
+    halo_send_idx: Optional[jnp.ndarray] = None  # [S, h] local rows to send
+    halo_send_mask: Optional[jnp.ndarray] = None  # [S, h]
+    halo_axis: Optional[str] = struct.field(pytree_node=False, default=None)
+
     # ------------------------------------------------------------------
     @property
     def n_node(self) -> int:
