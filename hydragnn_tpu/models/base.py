@@ -30,6 +30,25 @@ from hydragnn_tpu.graphs import GraphBatch
 from hydragnn_tpu.ops import segment_sum
 
 
+def halo_refresh(graph: GraphBatch, x: jnp.ndarray) -> jnp.ndarray:
+    """Giant-graph halo view (parallel/halo.py): overwrite this shard's halo
+    rows (the tail S*h rows of the extended node array) with the owners'
+    current values via one tiled all_to_all over ``graph.halo_axis``.  No-op
+    on ordinary batches.  Differentiable — the transpose is the reverse
+    exchange plus the local-row passthrough."""
+    if graph.halo_axis is None or graph.halo_send_idx is None:
+        return x
+    S, h = graph.halo_send_idx.shape
+    block = x.shape[0] - S * h
+    send = jnp.where(
+        graph.halo_send_mask[..., None], x[graph.halo_send_idx], 0
+    )
+    recv = jax.lax.all_to_all(
+        send.reshape(S * h, x.shape[-1]), graph.halo_axis, 0, 0, tiled=True
+    )
+    return jnp.concatenate([x[:block], recv.astype(x.dtype)], axis=0)
+
+
 # ---------------------------------------------------------------------------
 # selections (reference: hydragnn/utils/model/model.py activation/loss selection)
 # ---------------------------------------------------------------------------
@@ -523,6 +542,12 @@ class ConvStack(nn.Module):
         # conv trunk (Base.py:446-463, 707-726)
         specs = self.conv_layer_specs(embed_dim, edge_embed_dim)
         for i, spec in enumerate(specs):
+            if i > 0:
+                # giant-graph halo view: per-node ops keep halo copies
+                # consistent automatically, but a conv's output at halo rows
+                # is garbage (their in-edges live on the owner shard) — pull
+                # fresh values with one tiled all_to_all before reuse
+                inv = halo_refresh(graph, inv)
             conv = self._wrap_global_attn(
                 self.make_conv(name=f"conv_{i}", **spec["conv"]),
                 name=f"gps_{i}",
@@ -646,18 +671,31 @@ class ConvStack(nn.Module):
         mode = cfg.graph_pooling.lower()
         if mode == "sum":
             mode = "add"
+        halo = graph.halo_axis is not None and graph.halo_send_idx is not None
         if mode == "mean":
             s = segment_sum(x, graph.node_graph, graph.n_graph,
                             mask=graph.node_mask, indices_are_sorted=True)
             cnt = jnp.maximum(graph.n_per_graph.astype(x.dtype), 1.0)[:, None]
+            if halo:
+                # giant-graph view: each shard pools its local real nodes;
+                # the graph total is the psum of partial sums/counts
+                s = jax.lax.psum(s, graph.halo_axis)
+                cnt = jnp.maximum(
+                    jax.lax.psum(
+                        graph.n_per_graph.astype(x.dtype), graph.halo_axis
+                    ),
+                    1.0,
+                )[:, None]
             return s / cnt
         if mode == "add":
-            return segment_sum(x, graph.node_graph, graph.n_graph,
-                               mask=graph.node_mask, indices_are_sorted=True)
+            s = segment_sum(x, graph.node_graph, graph.n_graph,
+                            mask=graph.node_mask, indices_are_sorted=True)
+            return jax.lax.psum(s, graph.halo_axis) if halo else s
         if mode == "max":
             from hydragnn_tpu.ops import segment_max
 
-            return segment_max(x, graph.node_graph, graph.n_graph, mask=graph.node_mask)
+            s = segment_max(x, graph.node_graph, graph.n_graph, mask=graph.node_mask)
+            return jax.lax.pmax(s, graph.halo_axis) if halo else s
         raise ValueError(f"Unsupported graph_pooling: {cfg.graph_pooling}")
 
     def _node_conv_head(self, graph, x, equiv, ctx, arch: HeadArch, out_dim, train, name):

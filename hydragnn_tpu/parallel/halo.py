@@ -351,3 +351,236 @@ def make_halo_train_fns(
         )(params)
 
     return step, init, plan
+
+
+# ---------------------------------------------------------------------------
+# giant-graph halo view for the PRODUCTION ConvStack (models/base.py):
+# node-partition one graph and run the standard model families on it
+# ---------------------------------------------------------------------------
+
+
+def build_stack_halo_view(sample, n_shards: int, align: int = 8):
+    """Partition ONE GraphSample into a stacked [S, ...] GraphBatch of
+    per-shard local views for shard_map over a ``graph`` mesh axis.
+
+    Each shard's node arrays are [block + S*h]: its local block followed by
+    HALO COPIES of the remote nodes its in-edges read.  Static per-node
+    inputs (x, pos, pe) are host-filled for the halo rows, so layer 0 needs
+    no exchange; the stack refreshes halo FEATURES before every later conv
+    (models/base.py halo_refresh) and psums the pooling — the standard
+    model families then run unchanged on a graph no single device could
+    batch.  Restriction: no GPS global attention (attention over a sharded
+    node set needs a ring schedule — not wired into the halo view)."""
+    from hydragnn_tpu.data.batching import collate
+    from hydragnn_tpu.data.pipeline import sort_edges_by_receiver
+    from hydragnn_tpu.parallel.graph_shard import pad_to_multiple
+
+    S = n_shards
+    sort_edges_by_receiver([sample])
+    batch = collate(
+        [sample],
+        _round_up(sample.num_nodes + 1, S * align),
+        _round_up(sample.num_edges, align),
+        2,
+    )
+    batch = pad_to_multiple(batch, S)
+    plan = build_halo_plan(batch, S, align=align)
+    h, block = plan.h, plan.block
+    N = S * block
+    pad_node = N - 1
+
+    # global node id of every halo slot: position block + t*h + k on shard s
+    # holds what shard t sends to s (send_idx[t, s, k] + t*block)
+    ext_ids = np.full((S, S * h), pad_node, np.int64)
+    for t in range(S):
+        for s in range(S):
+            ids = plan.send_idx[t, s].astype(np.int64) + t * block
+            m = plan.send_mask[t, s]
+            ext_ids[s, t * h : (t + 1) * h][m] = ids[m]
+
+    def node_field(arr, halo_valid=True):
+        """[S, block + S*h, ...]: local slice + gathered halo copies."""
+        arr = np.asarray(arr)
+        out = []
+        for s in range(S):
+            loc = arr[s * block : (s + 1) * block]
+            halo = arr[ext_ids[s]] if halo_valid else np.zeros_like(arr[ext_ids[s]])
+            out.append(np.concatenate([loc, halo], axis=0))
+        return np.stack(out)
+
+    nm = np.asarray(batch.node_mask)
+    x_sh = node_field(batch.x)
+    pos_sh = node_field(batch.pos)
+    mask_sh = node_field(nm, halo_valid=False)  # halo rows masked out
+    node_graph_sh = np.where(mask_sh, 0, 1).astype(np.int32)
+    y_node_sh = (
+        node_field(batch.y_node) if batch.y_node is not None else None
+    )
+    pe_sh = node_field(batch.pe) if batch.pe is not None else None
+    forces_sh = node_field(batch.forces) if batch.forces is not None else None
+
+    senders_sh = np.stack(
+        [
+            np.concatenate([plan.loc_gather[s], block + plan.halo_gather[s]])
+            for s in range(S)
+        ]
+    ).astype(np.int32)
+    receivers_sh = np.concatenate(
+        [plan.loc_rcv, plan.halo_rcv], axis=1
+    ).astype(np.int32)
+    emask_sh = np.concatenate([plan.loc_mask, plan.halo_mask], axis=1)
+    # original edge ids -> per-shard edge_attr / shifts if present
+    eid_sh = np.concatenate([plan.loc_eid, plan.halo_eid], axis=1)
+    edge_attr_sh = (
+        np.asarray(batch.edge_attr)[eid_sh] if batch.edge_attr is not None else None
+    )
+    shifts_sh = (
+        np.asarray(batch.edge_shifts)[eid_sh]
+        if batch.edge_shifts is not None
+        else None
+    )
+
+    n_loc_real = mask_sh.sum(axis=1).astype(np.int32)  # [S]
+    graph_mask_sh = np.tile(np.asarray([True, False]), (S, 1))
+    n_per_graph_sh = np.stack(
+        [np.asarray([c, 0], np.int32) for c in n_loc_real]
+    )
+    if batch.y_graph is not None:
+        yg = np.asarray(batch.y_graph)[:1].reshape(1, 1, -1)  # real graph row
+        y_graph_sh = np.concatenate(
+            [np.tile(yg, (S, 1, 1)), np.zeros((S, 1, yg.shape[-1]), yg.dtype)],
+            axis=1,
+        )
+    else:
+        y_graph_sh = None
+
+    view = GraphBatch(
+        x=x_sh.astype(np.float32),
+        pos=pos_sh.astype(np.float32),
+        node_graph=node_graph_sh,
+        node_mask=mask_sh,
+        senders=senders_sh,
+        receivers=receivers_sh,
+        edge_mask=emask_sh,
+        graph_mask=graph_mask_sh,
+        n_per_graph=n_per_graph_sh,
+        edge_attr=edge_attr_sh,
+        edge_shifts=shifts_sh,
+        y_graph=y_graph_sh,
+        y_node=y_node_sh,
+        pe=pe_sh,
+        forces=forces_sh,
+        halo_send_idx=plan.send_idx.astype(np.int32),
+        halo_send_mask=plan.send_mask,
+        halo_axis="graph",
+    )
+    return view, plan, batch
+
+
+def shard_stack_view(view, mesh: Mesh):
+    spec = NamedSharding(mesh, P("graph"))
+
+    def put(v):
+        return None if v is None else jax.device_put(np.asarray(v), spec)
+
+    return jax.tree.map(put, view)
+
+
+def make_stack_halo_train_fns(model, tx, mesh: Mesh, view):
+    """Jitted (train_step, eval_loss) for a ConvStack on a halo view.
+
+    Per-task reduction: graph-head losses are identical on every shard
+    after the psum'd pooling (take /S then psum); node-head losses are
+    means over each shard's local real nodes (weight by node count).  The
+    per-shard weighted total is differentiated, and psum of its gradients
+    equals the gradient of the exact global loss."""
+    import dataclasses
+
+    from jax import shard_map
+
+    from hydragnn_tpu.train.loop import TrainState
+
+    sync_model = type(model)(
+        cfg=dataclasses.replace(model.cfg, bn_sync_axis="graph")
+    )
+    S = mesh.shape["graph"]
+    weights = sync_model.cfg.loss_weights
+    types = sync_model.cfg.output_type
+    dev_view = shard_stack_view(view, mesh)
+
+    def local_loss(params, batch_stats, b, rng, train):
+        if train:
+            out, mutated = sync_model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                b, train=True, mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            new_bs = mutated["batch_stats"]
+        else:
+            out = sync_model.apply(
+                {"params": params, "batch_stats": batch_stats}, b, train=False
+            )
+            new_bs = batch_stats
+        _, tasks = sync_model.loss(out, b)
+        nn_loc = b.num_real_nodes.astype(jnp.float32)
+        nn_tot = jax.lax.psum(nn_loc, "graph")
+        parts = []
+        rep = []
+        for w, t_, typ in zip(weights, tasks, types):
+            if typ == "graph":
+                parts.append(w * t_ / S)
+                rep.append(t_)  # identical on every shard
+            else:
+                parts.append(w * t_ * nn_loc / nn_tot)
+                rep.append(jax.lax.psum(t_ * nn_loc, "graph") / nn_tot)
+        return sum(parts), (jnp.stack(rep), new_bs)
+
+    def train_body(state, stacked):
+        b = jax.tree.map(lambda v: v[0], stacked)
+        rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("graph"))
+        (local, (tasks, new_bs)), grads = jax.value_and_grad(
+            lambda p: local_loss(p, state.batch_stats, b, rng, True),
+            has_aux=True,
+        )(state.params)
+        grads = jax.lax.psum(grads, "graph")
+        loss = jax.lax.psum(local, "graph")
+        new_bs = jax.tree.map(
+            lambda s_: jax.lax.pmean(s_, "graph")
+            if jnp.issubdtype(s_.dtype, jnp.floating)
+            else jax.lax.pmax(s_, "graph"),
+            new_bs,
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        return (
+            TrainState(
+                params=new_params, batch_stats=new_bs,
+                opt_state=new_opt, step=state.step + 1,
+            ),
+            loss, tasks,
+        )
+
+    def eval_body(state, stacked):
+        b = jax.tree.map(lambda v: v[0], stacked)
+        local, (tasks, _) = local_loss(
+            state.params, state.batch_stats, b, None, False
+        )
+        return jax.lax.psum(local, "graph"), tasks
+
+    spec = P("graph")
+    train_step = jax.jit(
+        shard_map(
+            train_body, mesh=mesh,
+            in_specs=(P(), spec), out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+    )
+    eval_loss = jax.jit(
+        shard_map(
+            eval_body, mesh=mesh,
+            in_specs=(P(), spec), out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+    return train_step, eval_loss, dev_view
