@@ -529,6 +529,12 @@ class ConvStack(nn.Module):
         cfg = self.cfg
         act = activation_function_selection(cfg.activation)
 
+        if graph.halo_axis is not None and graph.halo_send_idx is not None:
+            # giant-graph halo view: pull the owners' positions INSIDE the
+            # differentiated computation so MLIP forces (-dE/dpos) receive
+            # the cross-shard coupling through the exchange's transpose
+            graph = graph.replace(pos=halo_refresh(graph, graph.pos))
+
         inv, equiv, ctx = self.embedding(graph)
         inv, ctx = self._maybe_gps_embed(graph, inv, ctx)
 

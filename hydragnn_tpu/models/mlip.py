@@ -32,9 +32,17 @@ def predicted_graph_energy(model: ConvStack, out, graph: GraphBatch) -> jnp.ndar
         out = out[0]
     if cfg.output_type[0] == "node":
         node_e = out[0]  # [N, 1]
-        return segment_sum(
+        e = segment_sum(
             node_e[:, 0], graph.node_graph, graph.n_graph, mask=graph.node_mask
         )
+        if graph.halo_axis is not None and graph.halo_send_idx is not None:
+            # giant-graph halo view: the total energy is the psum of the
+            # shards' local partial sums (each real node lives on exactly
+            # one shard)
+            import jax
+
+            e = jax.lax.psum(e, graph.halo_axis)
+        return e
     if cfg.output_type[0] == "graph":
         if cfg.graph_pooling not in ("add", "sum"):
             raise ValueError(
@@ -81,6 +89,12 @@ def energy_force_loss(
             new_bs = batch_stats
         graph_e = predicted_graph_energy(model, out, graph)
         total = jnp.sum(jnp.where(graph.graph_mask, graph_e, 0.0))
+        if graph.halo_axis is not None and graph.halo_send_idx is not None:
+            # halo view: every shard differentiates ITS replica of the
+            # psum'd total, and the psum transpose SUMS the S identical
+            # cotangents — divide by the axis size so dpos is the true
+            # force, not S x it
+            total = total / jax.lax.psum(1.0, graph.halo_axis)
         return total, (graph_e, new_bs)
 
     (_, (graph_e, new_bs)), dpos = jax.value_and_grad(energy_fn, has_aux=True)(
@@ -91,7 +105,12 @@ def energy_force_loss(
     gm = graph.graph_mask
     e_true = graph.energy
     e_loss = masked_error_loss(graph_e[:, None], e_true[:, None], gm, loss_type)
-    natoms = jnp.maximum(graph.n_per_graph.astype(graph_e.dtype), 1.0)
+    natoms = graph.n_per_graph.astype(graph_e.dtype)
+    if graph.halo_axis is not None and graph.halo_send_idx is not None:
+        # giant-graph halo view: true atom count is the sum of the shards'
+        # local counts
+        natoms = jax.lax.psum(natoms, graph.halo_axis)
+    natoms = jnp.maximum(natoms, 1.0)
     epa_loss = masked_error_loss(
         (graph_e / natoms)[:, None], (e_true / natoms)[:, None], gm, loss_type
     )

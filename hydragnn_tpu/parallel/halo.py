@@ -359,7 +359,9 @@ def make_halo_train_fns(
 # ---------------------------------------------------------------------------
 
 
-def build_stack_halo_view(sample, n_shards: int, align: int = 8):
+def build_stack_halo_view(
+    sample, n_shards: int, align: int = 8, aggregate_at: str = "receivers"
+):
     """Partition ONE GraphSample into a stacked [S, ...] GraphBatch of
     per-shard local views for shard_map over a ``graph`` mesh axis.
 
@@ -370,11 +372,19 @@ def build_stack_halo_view(sample, n_shards: int, align: int = 8):
     (models/base.py halo_refresh) and psums the pooling — the standard
     model families then run unchanged on a graph no single device could
     batch.  Restriction: no GPS global attention (attention over a sharded
-    node set needs a ring schedule — not wired into the halo view)."""
+    node set needs a ring schedule — not wired into the halo view).
+
+    ``aggregate_at`` must match the model family's message-aggregation
+    side so every aggregation is shard-local: "receivers" for the
+    receiver-aggregating convs (GIN/PNA/GAT/SAGE/MFC/CGCNN/SchNet/
+    PNAPlus), "senders" for the sender-aggregating geometric family
+    (EGNN/PaiNN/PNAEq) — edges then live on their SENDER's shard and the
+    halo holds remote receivers."""
     from hydragnn_tpu.data.batching import collate
     from hydragnn_tpu.data.pipeline import sort_edges_by_receiver
     from hydragnn_tpu.parallel.graph_shard import pad_to_multiple
 
+    assert aggregate_at in ("receivers", "senders")
     S = n_shards
     sort_edges_by_receiver([sample])
     batch = collate(
@@ -384,7 +394,14 @@ def build_stack_halo_view(sample, n_shards: int, align: int = 8):
         2,
     )
     batch = pad_to_multiple(batch, S)
-    plan = build_halo_plan(batch, S, align=align)
+    plan_batch = batch
+    if aggregate_at == "senders":
+        # plan with the roles swapped: edges are owned by their sender's
+        # shard; the plan's "receiver" side is the true sender
+        plan_batch = batch.replace(
+            senders=batch.receivers, receivers=batch.senders
+        )
+    plan = build_halo_plan(plan_batch, S, align=align)
     h, block = plan.h, plan.block
     N = S * block
     pad_node = N - 1
@@ -419,15 +436,19 @@ def build_stack_halo_view(sample, n_shards: int, align: int = 8):
     pe_sh = node_field(batch.pe) if batch.pe is not None else None
     forces_sh = node_field(batch.forces) if batch.forces is not None else None
 
-    senders_sh = np.stack(
+    gather_side = np.stack(
         [
             np.concatenate([plan.loc_gather[s], block + plan.halo_gather[s]])
             for s in range(S)
         ]
     ).astype(np.int32)
-    receivers_sh = np.concatenate(
+    local_side = np.concatenate(
         [plan.loc_rcv, plan.halo_rcv], axis=1
     ).astype(np.int32)
+    if aggregate_at == "receivers":
+        senders_sh, receivers_sh = gather_side, local_side
+    else:  # senders: the plan's local side IS the true sender
+        senders_sh, receivers_sh = local_side, gather_side
     emask_sh = np.concatenate([plan.loc_mask, plan.halo_mask], axis=1)
     # original edge ids -> per-shard edge_attr / shifts if present
     eid_sh = np.concatenate([plan.loc_eid, plan.halo_eid], axis=1)
@@ -453,6 +474,12 @@ def build_stack_halo_view(sample, n_shards: int, align: int = 8):
         )
     else:
         y_graph_sh = None
+    energy_sh = None
+    if batch.energy is not None:
+        e0 = float(np.asarray(batch.energy).reshape(-1)[0])
+        energy_sh = np.tile(
+            np.asarray([e0, 0.0], np.float32), (S, 1)
+        )
 
     view = GraphBatch(
         x=x_sh.astype(np.float32),
@@ -468,6 +495,7 @@ def build_stack_halo_view(sample, n_shards: int, align: int = 8):
         edge_shifts=shifts_sh,
         y_graph=y_graph_sh,
         y_node=y_node_sh,
+        energy=energy_sh,
         pe=pe_sh,
         forces=forces_sh,
         halo_send_idx=plan.send_idx.astype(np.int32),
@@ -486,7 +514,7 @@ def shard_stack_view(view, mesh: Mesh):
     return jax.tree.map(put, view)
 
 
-def make_stack_halo_train_fns(model, tx, mesh: Mesh, view):
+def make_stack_halo_train_fns(model, tx, mesh: Mesh, view, mlip=None):
     """Jitted (train_step, eval_loss) for a ConvStack on a halo view.
 
     Per-task reduction: graph-head losses are identical on every shard
@@ -509,6 +537,25 @@ def make_stack_halo_train_fns(model, tx, mesh: Mesh, view):
     dev_view = shard_stack_view(view, mesh)
 
     def local_loss(params, batch_stats, b, rng, train):
+        if mlip is not None:
+            from hydragnn_tpu.models.mlip import energy_force_loss
+
+            _, (e_l, epa_l, f_l), new_bs, _, _ = energy_force_loss(
+                sync_model, params, batch_stats, b, mlip, train=train, rng=rng
+            )
+            nn_loc = b.num_real_nodes.astype(jnp.float32)
+            nn_tot = jax.lax.psum(nn_loc, "graph")
+            # energy terms are identical on every shard (psum'd total
+            # energy); the force term is a mean over local real nodes
+            local = (
+                float(mlip.get("energy_weight", 0.0)) * e_l / S
+                + float(mlip.get("energy_peratom_weight", 0.0)) * epa_l / S
+                + float(mlip.get("force_weight", 0.0)) * f_l * nn_loc / nn_tot
+            )
+            rep = jnp.stack(
+                [e_l, epa_l, jax.lax.psum(f_l * nn_loc, "graph") / nn_tot]
+            )
+            return local, (rep, new_bs)
         if train:
             out, mutated = sync_model.apply(
                 {"params": params, "batch_stats": batch_stats},

@@ -552,3 +552,108 @@ def test_convstack_on_halo_view_matches_single_device():
     )
     for a, b in zip(jax.tree.leaves(g_halo), jax.tree.leaves(g_ref)):
         assert float(np.abs(np.asarray(a) - np.asarray(b)).max()) < 1e-4 * gmax
+
+
+def test_mlip_force_training_on_halo_view_matches_single_device():
+    """Partitioned-giant-graph FORCE training: EGNN energy head on a halo
+    view — predicted total energy, local forces (incl. the cross-shard
+    coupling through the position exchange), and per-task losses match the
+    single-device full-graph energy_force_loss."""
+    import sys
+
+    sys.path.insert(0, "examples/giant_graph")
+    import runpy
+
+    import jax.numpy as jnp
+
+    from hydragnn_tpu.models.base import StackConfig, normalize_branches
+    from hydragnn_tpu.models.create import create_model
+    from hydragnn_tpu.models.mlip import energy_force_loss
+    from hydragnn_tpu.parallel.graph_shard import make_graph_mesh
+    from hydragnn_tpu.parallel.halo import (
+        build_stack_halo_view,
+        make_stack_halo_train_fns,
+    )
+    from hydragnn_tpu.train.loop import Trainer
+
+    gg = runpy.run_path("examples/giant_graph/train.py")
+    sample = gg["build_giant_lattice"](360, seed=9)
+    rng = np.random.default_rng(3)
+    sample.energy = float(rng.normal())
+    sample.forces = rng.normal(size=(sample.num_nodes, 3)).astype(np.float32)
+    sample.y_node = None
+
+    node_head = {"num_headlayers": 1, "dim_headlayers": [16], "type": "mlp"}
+    cfg = StackConfig(
+        input_dim=1,
+        hidden_dim=16,
+        output_dim=(1,),
+        output_type=("node",),
+        node_branches=normalize_branches(node_head),
+        task_weights=(1.0,),
+        num_conv_layers=2,
+        equivariance=False,
+        max_ell=1,
+        node_max_ell=1,
+        num_radial=8,
+        radius=1.5,
+        avg_num_neighbors=8.0,
+    )
+    model = create_model("EGNN", cfg)
+    w = {"energy_weight": 1.0, "energy_peratom_weight": 1.0, "force_weight": 5.0}
+    tr = Trainer(model, {"type": "AdamW", "learning_rate": 1e-3}, mlip=w)
+
+    S = 8
+    # EGNN aggregates messages at the SENDER: edges live on sender shards
+    view, plan, full = build_stack_halo_view(sample, S, aggregate_at="senders")
+    mesh = make_graph_mesh(S)
+    step, eval_loss, dev_view = make_stack_halo_train_fns(
+        model, tr.tx, mesh, view, mlip=w
+    )
+    state = tr.init_state(full)
+    loss, tasks = eval_loss(state, dev_view)
+
+    tot_ref, tasks_ref, _, forces_ref, e_ref = energy_force_loss(
+        model, state.params, state.batch_stats, full, w, train=False
+    )
+    # rtol 1e-3: E_pred is a 360-term fp32 sum (order differs between the
+    # psum-of-partials and the single segment_sum) and the energy loss
+    # squares that ~1e-4 relative difference
+    np.testing.assert_allclose(float(loss), float(tot_ref), rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(tasks), np.asarray(jnp.stack(tasks_ref)), rtol=1e-3
+    )
+
+    # local forces per shard equal the full-graph forces, incl. cross-shard
+    # coupling (verified through the position-exchange transpose)
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    import dataclasses
+
+    sync_model = type(model)(
+        cfg=dataclasses.replace(model.cfg, bn_sync_axis="graph")
+    )
+
+    def forces_body(params, stacked):
+        b = jax.tree.map(lambda v: v[0], stacked)
+        _, _, _, f, _ = energy_force_loss(
+            sync_model, params, state.batch_stats, b, w, train=False
+        )
+        S_, h_ = b.halo_send_idx.shape
+        return f[: f.shape[0] - S_ * h_]  # local block rows
+
+    ffn = jax.jit(shard_map(
+        forces_body, mesh=mesh, in_specs=(P(), P("graph")),
+        out_specs=P("graph"), check_vma=False,
+    ))
+    f_halo = np.asarray(ffn(state.params, dev_view))  # [N] stacked blocks
+    f_ref = np.asarray(forces_ref)
+    nm_full = np.asarray(full.node_mask)
+    np.testing.assert_allclose(
+        f_halo[nm_full], f_ref[nm_full], rtol=1e-4, atol=1e-6
+    )
+
+    # and a train step runs with finite decreasing loss
+    st2, l1, _ = step(state, dev_view)
+    _, l2, _ = step(st2, dev_view)
+    assert np.isfinite(float(l1)) and np.isfinite(float(l2))
