@@ -24,7 +24,8 @@ from hydragnn_tpu.graphs import GraphBatch
 from hydragnn_tpu.models.base import MaskedBatchNorm
 
 
-def _mha(x, node_mask, node_graph, per_graph, channels: int, heads: int):
+def _mha(x, node_mask, node_graph, per_graph, channels: int, heads: int,
+         halo_axis=None):
     """Multi-head self-attention (torch.nn.MultiheadAttention semantics:
     in/out projections with bias).  On TPU with 128-aligned node budgets it
     runs the Pallas FlashAttention kernel (tiled online-softmax, never
@@ -41,6 +42,25 @@ def _mha(x, node_mask, node_graph, per_graph, channels: int, heads: int):
     q = q.reshape(N, heads, D)
     k = k.reshape(N, heads, D)
     v = v.reshape(N, heads, D)
+
+    if halo_axis is not None:
+        # giant-graph halo view: local queries attend over the ALL-GATHERED
+        # real keys/values (each real node is a key on exactly one shard —
+        # halo copies are masked out), the all-gather schedule for global
+        # attention over a sharded node set (SURVEY section 5).  K/V are
+        # [N_total, C] — linear memory, unlike the [N, N] score tensor
+        # which stays blockwise [N_local, N_total].
+        k_all = jax.lax.all_gather(k, halo_axis, tiled=True)  # [S*N, H, D]
+        v_all = jax.lax.all_gather(v, halo_axis, tiled=True)
+        mask_all = jax.lax.all_gather(node_mask, halo_axis, tiled=True)
+        scores = jnp.einsum("nhd,mhd->hnm", q, k_all) / jnp.sqrt(
+            jnp.asarray(D, x.dtype)
+        )
+        neg = jnp.asarray(jnp.finfo(x.dtype).min, x.dtype)
+        scores = jnp.where(mask_all[None, None, :], scores, neg)
+        att = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("hnm,mhd->nhd", att, v_all).reshape(N, channels)
+        return nn.Dense(channels, name="attn_out_proj")(out)
 
     use_flash = (
         jax.default_backend() == "tpu"
@@ -240,6 +260,9 @@ class GPSConv(nn.Module):
             h = _mha(
                 inv, graph.node_mask, graph.node_graph, self.per_graph,
                 C, self.heads,
+                halo_axis=graph.halo_axis
+                if graph.halo_send_idx is not None
+                else None,
             )
         h = drop(h, "d2")
         h = h + inv

@@ -371,8 +371,9 @@ def build_stack_halo_view(
     no exchange; the stack refreshes halo FEATURES before every later conv
     (models/base.py halo_refresh) and psums the pooling — the standard
     model families then run unchanged on a graph no single device could
-    batch.  Restriction: no GPS global attention (attention over a sharded
-    node set needs a ring schedule — not wired into the halo view).
+    batch — including GPS global attention (local queries attend over
+    all-gathered keys/values; models/gps.py halo branch) and MLIP force
+    training (position exchange inside the force gradient).
 
     ``aggregate_at`` must match the model family's message-aggregation
     side so every aggregation is shard-local: "receivers" for the

@@ -657,3 +657,68 @@ def test_mlip_force_training_on_halo_view_matches_single_device():
     st2, l1, _ = step(state, dev_view)
     _, l2, _ = step(st2, dev_view)
     assert np.isfinite(float(l1)) and np.isfinite(float(l2))
+
+
+def test_gps_attention_on_halo_view_matches_single_device():
+    """GPS global attention over a PARTITIONED node set: local queries
+    attend over all-gathered keys/values, matching the single-device
+    whole-graph attention exactly (the all-gather schedule)."""
+    import sys
+
+    sys.path.insert(0, "examples/giant_graph")
+    import runpy
+
+    import jax.numpy as jnp
+
+    from hydragnn_tpu.data.pipeline import compute_lap_pe
+    from hydragnn_tpu.models.base import StackConfig, normalize_branches
+    from hydragnn_tpu.models.create import create_model
+    from hydragnn_tpu.parallel.graph_shard import make_graph_mesh
+    from hydragnn_tpu.parallel.halo import (
+        build_stack_halo_view,
+        make_stack_halo_train_fns,
+    )
+    from hydragnn_tpu.train.loop import Trainer
+
+    gg = runpy.run_path("examples/giant_graph/train.py")
+    sample = gg["build_giant_lattice"](360, seed=11)
+    sample.y_graph = sample.y_node.sum(0)
+    sample.y_node = None
+    compute_lap_pe([sample], 2)
+
+    head = {"num_sharedlayers": 1, "dim_sharedlayers": 16,
+            "num_headlayers": 1, "dim_headlayers": [16]}
+    cfg = StackConfig(
+        input_dim=1,
+        hidden_dim=16,
+        output_dim=(1,),
+        output_type=("graph",),
+        graph_branches=normalize_branches(head),
+        task_weights=(1.0,),
+        num_conv_layers=2,
+        global_attn_engine="GPS",
+        global_attn_type="multihead",
+        global_attn_heads=4,
+        pe_dim=2,
+    )
+    model = create_model("GIN", cfg)
+    tr = Trainer(model, {"type": "AdamW", "learning_rate": 1e-3})
+
+    S = 8
+    view, plan, full = build_stack_halo_view(sample, S)
+    mesh = make_graph_mesh(S)
+    step, eval_loss, dev_view = make_stack_halo_train_fns(
+        model, tr.tx, mesh, view
+    )
+    state = tr.init_state(full)
+    loss, tasks = eval_loss(state, dev_view)
+
+    out = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        full, train=False,
+    )
+    tot_ref, _ = model.loss(out, full)
+    np.testing.assert_allclose(float(loss), float(tot_ref), rtol=1e-4)
+
+    st2, l1, _ = step(state, dev_view)
+    assert np.isfinite(float(l1))
