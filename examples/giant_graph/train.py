@@ -55,6 +55,10 @@ def main():
     ap.add_argument("--hidden", type=int, default=64)
     ap.add_argument("--layers", type=int, default=2)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--stack", action="store_true",
+                    help="train the production ConvStack on the halo view")
+    ap.add_argument("--mlip", action="store_true",
+                    help="with --stack: EGNN energy head + gradient forces")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -64,6 +68,12 @@ def main():
     import jax
 
     from hydragnn_tpu.parallel.halo import make_halo_train_fns
+
+    if args.stack:
+        return main_stack(
+            nodes_per_shard=args.nodes_per_shard, epochs=args.epochs,
+            mlip=args.mlip,
+        )
 
     S = len(jax.devices())
     sample = build_giant_lattice(args.nodes_per_shard * S)
@@ -91,6 +101,79 @@ def main():
         params = jax.tree.map(lambda p, u: p + u, params, upd)
         if epoch % 10 == 0 or epoch == args.epochs - 1:
             print(f"epoch {epoch}: mse {float(loss):.6f}")
+    return float(loss)
+
+
+
+
+def main_stack(nodes_per_shard=1024, epochs=30, mlip=False):
+    """Production-stack mode: the standard ConvStack (GIN, or EGNN with
+    gradient forces under --mlip) trains on the partitioned giant graph via
+    build_stack_halo_view — the same model families run_training uses,
+    on a graph no single device could batch."""
+    import jax
+
+    from hydragnn_tpu.models.base import StackConfig, normalize_branches
+    from hydragnn_tpu.models.create import create_model
+    from hydragnn_tpu.parallel.graph_shard import make_graph_mesh
+    from hydragnn_tpu.parallel.halo import (
+        build_stack_halo_view,
+        make_stack_halo_train_fns,
+    )
+    from hydragnn_tpu.train.loop import Trainer
+
+    S = len(jax.devices())
+    sample = build_giant_lattice(nodes_per_shard * S)
+    node_head = {"num_headlayers": 2, "dim_headlayers": [64, 64], "type": "mlp"}
+    if mlip:
+        rng = np.random.default_rng(0)
+        i, j = sample.edge_index
+        d = np.linalg.norm(sample.pos[j] - sample.pos[i], axis=1)
+        # harmonic surrogate energy/forces on the lattice edges
+        e_pair = 0.5 * 50.0 * (d - 1.0) ** 2
+        sample.energy = float(e_pair.sum() / 2)
+        g = (50.0 * (d - 1.0) / np.maximum(d, 1e-9))[:, None] * (
+            sample.pos[j] - sample.pos[i]
+        )
+        f = np.zeros_like(sample.pos)
+        np.add.at(f, i, g)
+        np.add.at(f, j, -g)
+        sample.forces = (f / 2).astype(np.float32)
+        sample.y_node = None
+        cfg = StackConfig(
+            input_dim=1, hidden_dim=64, output_dim=(1,), output_type=("node",),
+            node_branches=normalize_branches(node_head), task_weights=(1.0,),
+            num_conv_layers=3, equivariance=False, max_ell=1, node_max_ell=1,
+            num_radial=8, radius=1.5, avg_num_neighbors=8.0,
+        )
+        model = create_model("EGNN", cfg)
+        w = {"energy_weight": 0.1, "energy_peratom_weight": 1.0,
+             "force_weight": 10.0}
+        view, plan, full = build_stack_halo_view(sample, S, aggregate_at="senders")
+    else:
+        cfg = StackConfig(
+            input_dim=1, hidden_dim=64, output_dim=(1,), output_type=("node",),
+            node_branches=normalize_branches(node_head), task_weights=(1.0,),
+            num_conv_layers=3,
+        )
+        model = create_model("GIN", cfg)
+        w = None
+        view, plan, full = build_stack_halo_view(sample, S)
+
+    print(
+        f"stack mode: {sample.num_nodes} nodes over {S} shards "
+        f"({'EGNN MLIP forces' if mlip else 'GIN node regression'})"
+    )
+    tr = Trainer(model, {"type": "AdamW", "learning_rate": 2e-3}, mlip=w)
+    mesh = make_graph_mesh(S)
+    step, eval_loss, dev_view = make_stack_halo_train_fns(
+        model, tr.tx, mesh, view, mlip=w
+    )
+    state = tr.init_state(full)
+    for epoch in range(epochs):
+        state, loss, tasks = step(state, dev_view)
+        if epoch % 10 == 0 or epoch == epochs - 1:
+            print(f"epoch {epoch}: loss {float(loss):.6f}")
     return float(loss)
 
 
