@@ -722,3 +722,31 @@ def test_gps_attention_on_halo_view_matches_single_device():
 
     st2, l1, _ = step(state, dev_view)
     assert np.isfinite(float(l1))
+
+
+def test_run_training_giant_graph_mode(tmp_path, monkeypatch):
+    """Config-driven giant-graph training: Training.giant_graph partitions
+    the first sample over all local devices and trains full-batch through
+    the standard run_training entry point."""
+    import json
+
+    monkeypatch.chdir(tmp_path)
+    import os as _os
+
+    cfg = json.load(
+        open(_os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "examples/unit_lattice/config.json",
+        ))
+    )
+    cfg["Dataset"]["num_samples"] = 30
+    cfg["Dataset"]["name"] = "giantmode"
+    cfg["NeuralNetwork"]["Training"]["num_epoch"] = 12
+    cfg["NeuralNetwork"]["Training"]["giant_graph"] = True
+    cfg.setdefault("Visualization", {})["create_plots"] = False
+    from hydragnn_tpu.api import run_training
+
+    info = run_training(cfg)
+    losses = [h["train"] for h in info["history"]]
+    assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0]
