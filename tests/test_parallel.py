@@ -750,3 +750,39 @@ def test_run_training_giant_graph_mode(tmp_path, monkeypatch):
     losses = [h["train"] for h in info["history"]]
     assert np.isfinite(losses[-1])
     assert losses[-1] < losses[0]
+
+
+def test_fsdp_checkpoint_roundtrip(tmp_path):
+    """FSDP-sharded state survives an orbax save/restore + place_state:
+    restored training continues with the same loss as uninterrupted."""
+    from hydragnn_tpu.data.batching import PaddedBatcher, compute_batch_dims
+    from hydragnn_tpu.parallel.dp import DataParallelTrainer, make_mesh
+    from hydragnn_tpu.train.checkpoint import load_model, save_model
+
+    samples, model, _ = _setup(n=16)
+    dims = compute_batch_dims(samples, 4)
+    mesh = make_mesh(8)
+    fs = DataParallelTrainer(
+        model, {"type": "AdamW", "learning_rate": 1e-2, "use_fsdp": True}, mesh
+    )
+    loader = PaddedBatcher(samples, 4, shuffle=True, seed=1, dims=dims)
+    state = fs.init_state(next(iter(loader)))
+    state, l0, _ = fs.run_epoch(state, loader)
+
+    save_model(str(tmp_path), state)
+    # fresh trainer (as run_prediction constructs one), restore, re-shard
+    fs2 = DataParallelTrainer(
+        model, {"type": "AdamW", "learning_rate": 1e-2, "use_fsdp": True}, mesh
+    )
+    st2 = fs2.init_state(next(iter(loader)))
+    st2 = load_model(str(tmp_path), st2)
+    st2 = fs2.place_state(st2)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(st2.params)),
+        np.asarray(jax.device_get(state.params)),
+    )
+    loader.set_epoch(1)
+    st2, l1, _ = fs2.run_epoch(st2, loader)
+    loader.set_epoch(1)
+    state, l1_ref, _ = fs.run_epoch(state, loader)
+    np.testing.assert_allclose(l1, l1_ref, rtol=1e-5)
