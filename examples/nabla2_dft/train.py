@@ -1,0 +1,88 @@
+"""nabla2-DFT example: molecular DFT-database training.
+
+Trains on a nablaDFT-style ASE database of molecular conformations with
+DFT energies/forces.
+
+The corpus is an ASE sqlite database — the same store family the
+reference reads via ase.db.connect (/root/reference/examples/nabla2_dft/train.py:13-140). Zero-egress fallback: the driver
+synthesizes a surrogate database (drug-like molecules, analytic Morse
+energies/forces) in the exact ASE sqlite v9 schema
+(hydragnn_tpu/data/ase_db.py) before training.
+
+Usage:
+  python examples/nabla2_dft/train.py [--energy] [--mpnn_type M]
+      [--num_epoch N] [--num_samples N] [--cpu]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "..")
+)
+
+import numpy as np
+
+
+def synthesize(path, n):
+    from hydragnn_tpu.data import mlip_corpora as mc
+    from hydragnn_tpu.data.ase_db import write_ase_sqlite
+
+    rng = np.random.default_rng(11)
+    frames = []
+    for _ in range(n):
+        z, eq = mc.random_molecule(rng)
+        pos, e, f = next(mc.molecule_frames(rng, 1, z, eq))
+        frames.append(dict(z=z, pos=pos, energy=e, forces=f))
+    write_ase_sqlite(path, frames)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--energy", action="store_true",
+                    help="energy-only regression (no force loss)")
+    ap.add_argument("--mpnn_type", default=None)
+    ap.add_argument("--num_epoch", type=int, default=None)
+    ap.add_argument("--num_samples", type=int, default=None)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    name = "nabla2_dft.json" if args.energy else "nabla2_dft_forces.json"
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, name)) as f:
+        config = json.load(f)
+    arch = config["NeuralNetwork"]["Architecture"]
+    if args.mpnn_type:
+        arch["mpnn_type"] = args.mpnn_type
+    if args.num_epoch:
+        config["NeuralNetwork"]["Training"]["num_epoch"] = args.num_epoch
+    if args.num_samples:
+        config["Dataset"]["num_samples"] = args.num_samples
+    db = os.path.join(here, "dataset", "train_2k_energy.db")
+    config["Dataset"]["path"]["total"] = db
+    if not os.path.exists(db):
+        print(f"[nabla2_dft] {db!r} missing -- synthesizing surrogate "
+              "ASE sqlite corpus (no network egress)")
+        synthesize(db, int(config["Dataset"].get("num_samples", 200)))
+
+    from hydragnn_tpu.api import run_training
+
+    info = run_training(config)
+    h = info["history"][-1]
+    print(
+        f"nabla2_dft {arch['mpnn_type']}"
+        f"{' energy' if args.energy else ' mlip'}: "
+        f"train {h['train']:.6f} val {h['val']:.6f} test {h['test']:.6f}"
+    )
+    return info
+
+
+if __name__ == "__main__":
+    main()

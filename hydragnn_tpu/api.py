@@ -136,7 +136,10 @@ def _build_datasets(config: Dict):
     elif fmt == "extxyz":
         from hydragnn_tpu.data.xyz import load_xyz_directory
 
-        samples = load_xyz_directory(ds_cfg["path"]["total"])
+        limit = ds_cfg.get("num_samples")
+        samples = load_xyz_directory(
+            ds_cfg["path"]["total"], limit=int(limit) if limit else None
+        )
         normalize = bool(ds_cfg.get("normalize_features", False))
     elif fmt == "smiles_csv":
         from hydragnn_tpu.data.smiles import (
@@ -157,6 +160,87 @@ def _build_datasets(config: Dict):
             smiles_col=int(ds_cfg.get("smiles_col", 1)),
             target_col=int(ds_cfg.get("target_col", 2)),
             limit=int(limit) if limit else None,
+        )
+        normalize = bool(ds_cfg.get("normalize_features", False))
+    elif fmt in ("ani1x", "qm7x", "transition1x", "mptrj", "alexandria", "qcml"):
+        # multidataset MLIP corpora in their exact on-disk schemas
+        # (reference examples/{ani1_x,qm7x,transition1x,mptrj,alexandria});
+        # zero-egress surrogates are synthesized into the same files
+        from hydragnn_tpu.data import mlip_corpora as mc
+
+        path = ds_cfg["path"]["total"]
+        limit = ds_cfg.get("num_samples")
+        limit = int(limit) if limit else None
+        per_atom = bool(ds_cfg.get("energy_per_atom", False))
+        if fmt == "ani1x":
+            if not os.path.exists(path):
+                print(f"[ani1x] {path!r} missing -- synthesizing surrogate h5")
+                mc.synthesize_ani1x_h5(path)
+            samples = mc.load_ani1x_h5(
+                path,
+                energy_key=ds_cfg.get("energy_key", "wb97x_dz.energy"),
+                force_key=ds_cfg.get("force_key", "wb97x_dz.forces"),
+                limit=limit,
+            )
+        elif fmt == "qm7x":
+            if not os.path.isdir(path) or not any(
+                n.endswith(".hdf5") for n in os.listdir(path)
+            ):
+                print(f"[qm7x] {path!r} empty -- synthesizing surrogate set")
+                mc.synthesize_qm7x_set(path)
+            samples = mc.load_qm7x_dir(path, limit=limit)
+        elif fmt == "transition1x":
+            if not os.path.exists(path):
+                print(f"[transition1x] {path!r} missing -- synthesizing h5")
+                mc.synthesize_transition1x_h5(path)
+            samples = mc.load_transition1x_h5(
+                path, split=ds_cfg.get("split", "data"), limit=limit
+            )
+        elif fmt == "qcml":
+            if not os.path.exists(path):
+                print(f"[qcml] {path!r} missing -- synthesizing surrogate h5")
+                mc.synthesize_qcml_h5(path)
+            samples = mc.load_qcml_h5(path, limit=limit, energy_per_atom=per_atom)
+        elif fmt == "mptrj":
+            if not os.path.exists(path):
+                print(f"[mptrj] {path!r} missing -- synthesizing JSON corpus")
+                mc.synthesize_mptrj_json(path)
+            samples = mc.load_mptrj_json(path, limit=limit, energy_per_atom=per_atom)
+        else:  # alexandria
+            if not os.path.isdir(path) or not any(
+                n.endswith(".json") for n in os.listdir(path)
+            ):
+                print(f"[alexandria] {path!r} empty -- synthesizing JSON dir")
+                mc.synthesize_alexandria_dir(path)
+            samples = mc.load_alexandria_dir(
+                path, limit=limit, energy_per_atom=per_atom
+            )
+        normalize = bool(ds_cfg.get("normalize_features", False))
+    elif fmt == "ase_db":
+        # ASE sqlite databases (reference nabla2_dft ase.db path and the
+        # fairchem AseDBDataset-backed open_* corpora)
+        from hydragnn_tpu.data.ase_db import load_ase_sqlite, write_ase_sqlite
+
+        path = ds_cfg["path"]["total"]
+        limit = ds_cfg.get("num_samples")
+        if not os.path.exists(path):
+            from hydragnn_tpu.data import mlip_corpora as mc
+
+            print(f"[ase_db] {path!r} missing -- synthesizing surrogate db")
+            rng = np.random.default_rng(0)
+            frames = []
+            for _ in range(int(limit or 200)):
+                z, pos, cell = mc.random_crystal(rng)
+                e, frc = mc.periodic_energy_forces(z, pos, cell)
+                frames.append(
+                    dict(z=z, pos=pos, cell=cell, pbc=(1, 1, 1),
+                         energy=e, forces=frc)
+                )
+            write_ase_sqlite(path, frames)
+        samples = load_ase_sqlite(
+            path,
+            limit=int(limit) if limit else None,
+            energy_per_atom=bool(ds_cfg.get("energy_per_atom", False)),
         )
         normalize = bool(ds_cfg.get("normalize_features", False))
     else:

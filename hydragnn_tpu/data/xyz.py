@@ -88,11 +88,18 @@ def parse_xyz_file(path: str) -> List[GraphSample]:
     return samples
 
 
-def load_xyz_directory(path: str) -> List[GraphSample]:
-    out = []
-    for name in sorted(os.listdir(path)):
-        if name.endswith(".xyz"):
-            out.extend(parse_xyz_file(os.path.join(path, name)))
+def load_xyz_directory(path: str, limit: Optional[int] = None) -> List[GraphSample]:
+    """Parse every .xyz/.extxyz under ``path``, recursively — the OC22
+    shard layout globs ``**/*.extxyz`` (reference
+    ``examples/open_catalyst_2022/train.py:185-196``)."""
+    out: List[GraphSample] = []
+    for dirpath, dirnames, filenames in sorted(os.walk(path)):
+        dirnames.sort()
+        for name in sorted(filenames):
+            if name.endswith((".xyz", ".extxyz")):
+                out.extend(parse_xyz_file(os.path.join(dirpath, name)))
+                if limit is not None and len(out) >= limit:
+                    return out[:limit]
     return out
 
 

@@ -32,6 +32,10 @@ def _run(rel, argv, tmp_path, monkeypatch):
         ("examples/md17/md17.py", ["--num_epoch", "2", "--num_samples", "80"]),
         ("examples/dftb_uv_spectrum/train_smooth_uv_spectrum.py",
          ["--epochs", "2", "--n-mol", "60"]),
+        ("examples/ani1_x/train.py",
+         ["--energy", "--num_epoch", "2", "--num_samples", "60"]),
+        ("examples/nabla2_dft/train.py",
+         ["--energy", "--num_epoch", "2", "--num_samples", "60"]),
     ],
 )
 def test_example_driver_smoke(rel, argv, tmp_path, monkeypatch):
