@@ -119,3 +119,26 @@ def energy_force_loss(
     )
     tot = e_w * e_loss + epa_w * epa_loss + f_w * f_loss
     return tot, [e_loss, epa_loss, f_loss], new_bs, forces_pred, graph_e
+
+
+def predict_energy_forces(
+    model: ConvStack, params, batch_stats, graph: GraphBatch
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inference: (per-graph energies [G], forces [N, 3]).
+
+    The ASE-calculator analogue (reference SC26 harness
+    ``examples/multidataset_hpo_sc26/structure_optimization_ASE.py:197-265``
+    wraps the model as an ase Calculator returning energy + forces); here
+    it's one jittable function — forces are the exact negative gradient of
+    the summed masked graph energies."""
+
+    def energy_fn(pos):
+        g = graph.replace(pos=pos)
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats}, g, train=False
+        )
+        graph_e = predicted_graph_energy(model, out, graph)
+        return jnp.sum(jnp.where(graph.graph_mask, graph_e, 0.0)), graph_e
+
+    (_, graph_e), dpos = jax.value_and_grad(energy_fn, has_aux=True)(graph.pos)
+    return graph_e, -dpos

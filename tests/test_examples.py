@@ -46,6 +46,43 @@ def test_example_driver_smoke(rel, argv, tmp_path, monkeypatch):
         assert np.isfinite(float(out))
 
 
+@pytest.mark.parametrize(
+    "rel,argv",
+    [
+        ("examples/multidataset_hpo/gfm.py",
+         ["--num_epoch", "1", "--num_samples", "24", "--hidden_dim", "16"]),
+        ("examples/multidataset_deepspeed/train.py",
+         ["--mode", "zero1", "--num_epoch", "1", "--num_samples", "24"]),
+        ("examples/multibranch_hpo/train.py", ["--trials", "1", "--epochs", "1"]),
+        ("examples/multidataset_hpo_sc26/structure_optimization.py",
+         ["--num_epoch", "2", "--steps", "8", "--random-displacement"]),
+        ("examples/multidataset_hpo_sc26/branch_weighting_mlp.py",
+         ["--num_epoch", "1", "--num_samples", "32", "--mlp_epochs", "40"]),
+    ],
+)
+def test_hpo_and_sc26_driver_smoke(rel, argv, tmp_path, monkeypatch):
+    """The HPO / SC26-harness drivers run end to end at tiny scale."""
+    out = _run(rel, argv, tmp_path, monkeypatch)
+    assert out is not None
+
+
+def test_sc26_inference_writes_json(tmp_path, monkeypatch):
+    import json
+
+    out_path = str(tmp_path / "structures.json")
+    _run(
+        "examples/multidataset_hpo_sc26/inference_fused_write_json.py",
+        ["--num_structures", "8", "--num_epoch", "1", "--output", out_path],
+        tmp_path,
+        monkeypatch,
+    )
+    with open(out_path) as f:
+        d = json.load(f)
+    assert d["num_structures"] == 8
+    s = d["structures"][0]
+    assert len(s["forces"]) == len(s["atomic_numbers"])
+
+
 def test_example_giant_graph_smoke(tmp_path, monkeypatch):
     out = _run(
         "examples/giant_graph/train.py",
