@@ -375,10 +375,19 @@ def _make_loaders(config: Dict, train, val, test):
             else None
         )
         kw = dict(dims=dims, n_triplet=n_trip, use_pallas_agg=use_pallas)
+        # reference create_dataloaders(oversampling=True, num_samples=...)
+        # (load_data.py:235-249): fixed per-epoch draw counts
+        over = config["NeuralNetwork"]["Training"].get("oversampling_num_samples")
+        es = (
+            [int(v) for v in over]
+            if isinstance(over, (list, tuple))
+            else [int(over)] * 3 if over else [None] * 3
+        )
         loaders = (
-            PaddedBatcher(train, bs, shuffle=True, seed=1, **kw),
-            PaddedBatcher(val, bs, **kw),
-            PaddedBatcher(test, bs, **kw),
+            PaddedBatcher(train, bs, shuffle=True, seed=1,
+                          epoch_samples=es[0], **kw),
+            PaddedBatcher(val, bs, epoch_samples=es[1], **kw),
+            PaddedBatcher(test, bs, epoch_samples=es[2], **kw),
         )
     workers = int(os.environ.get("HYDRAGNN_TPU_NUM_WORKERS", "1"))
     if workers > 0:

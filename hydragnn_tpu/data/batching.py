@@ -275,12 +275,18 @@ class PaddedBatcher:
         use_pallas_agg: bool = False,
         tile_nodes: int = 128,
         tile_edges: int = 512,
+        epoch_samples: Optional[int] = None,
     ):
         self.samples = list(samples)
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        # fixed draw count per epoch (reference create_dataloaders
+        # oversampling=True -> RandomSampler(num_samples=...),
+        # load_data.py:240-249): < len subsamples, > len cycles fresh
+        # permutations so repeats are minimal
+        self.epoch_samples = epoch_samples
         self.epoch = 0
         self.dims = dims or compute_batch_dims(self.samples, batch_size)
         if n_triplet is not None:
@@ -310,7 +316,11 @@ class PaddedBatcher:
         self.epoch = epoch
 
     def __len__(self) -> int:
-        n = len(self.samples)
+        n = (
+            len(self.samples)
+            if self.epoch_samples is None
+            else self.epoch_samples
+        )
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -319,7 +329,12 @@ class PaddedBatcher:
         """Per-epoch list of sample-index chunks (one per batch) — lets a
         worker pool build batches concurrently (data/prefetch.py)."""
         idx = np.arange(len(self.samples))
-        if self.shuffle:
+        if self.epoch_samples is not None:
+            rng = np.random.default_rng(self.seed + epoch)
+            n, k = len(self.samples), self.epoch_samples
+            parts = [rng.permutation(n) for _ in range(-(-k // n))]
+            idx = np.concatenate(parts)[:k]
+        elif self.shuffle:
             rng = np.random.default_rng(self.seed + epoch)
             rng.shuffle(idx)
         chunks = []

@@ -24,9 +24,27 @@ from collections import defaultdict
 from typing import Dict, List, Optional
 
 
+def _device_sync():
+    """Drain the default device's in-order execution queue by
+    materializing a trivial value enqueued behind all outstanding work
+    (``block_until_ready`` alone does not synchronize through tunneled
+    PJRT backends)."""
+    import jax
+    import jax.numpy as jnp
+
+    float(jnp.zeros(()))
+    del jax
+
+
 class RegionTimers:
+    """``HYDRAGNN_TPU_TRACE_LEVEL=1`` makes every region stop synchronize
+    the device first, so wall-clock regions measure device work instead of
+    dispatch (the reference's per-region sync + barrier under
+    ``HYDRAGNN_TRACE_LEVEL=1``, train_validate_test.py:673-696)."""
+
     def __init__(self):
         self.enabled = True
+        self.trace_level = int(os.environ.get("HYDRAGNN_TPU_TRACE_LEVEL", "0"))
         self._starts: Dict[str, float] = {}
         self.history: Dict[str, List[float]] = defaultdict(list)
 
@@ -46,6 +64,11 @@ class RegionTimers:
 
     def stop(self, name: str):
         if self.enabled and name in self._starts:
+            if self.trace_level >= 1:
+                try:
+                    _device_sync()
+                except Exception:
+                    pass
             self.history[name].append(time.perf_counter() - self._starts.pop(name))
 
     @contextlib.contextmanager

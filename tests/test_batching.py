@@ -172,3 +172,34 @@ def test_prefetch_worker_pool_matches_serial():
         np.testing.assert_array_equal(
             np.asarray(a.senders), np.asarray(b.senders)
         )
+
+
+def test_epoch_samples_oversampling():
+    """PaddedBatcher(epoch_samples=k): fixed per-epoch draw count
+    (reference create_dataloaders oversampling, load_data.py:240-249) —
+    subsamples when k < n, cycles fresh permutations when k > n."""
+    from hydragnn_tpu.data.synthetic import deterministic_graph_data
+
+    samples = deterministic_graph_data(10, seed=0)
+    for s in samples:
+        from hydragnn_tpu.data.radius_graph import radius_graph
+
+        s.edge_index = radius_graph(s.pos, 2.0, 100)
+        s.y_graph = np.zeros(1, np.float32)
+
+    # oversample: 25 draws from 10 samples
+    ld = PaddedBatcher(samples, 5, shuffle=True, epoch_samples=25)
+    chunks = ld.batch_indices(0)
+    flat = np.concatenate(chunks)
+    assert len(flat) == 25 and len(ld) == 5
+    counts = np.bincount(flat, minlength=10)
+    assert counts.min() >= 2 and counts.max() <= 3  # minimal repetition
+    # subsample: 4 draws, no repeats
+    ld2 = PaddedBatcher(samples, 2, shuffle=True, epoch_samples=4)
+    flat2 = np.concatenate(ld2.batch_indices(1))
+    assert len(flat2) == 4 == len(np.unique(flat2))
+    # epochs differ
+    assert not np.array_equal(flat2, np.concatenate(ld2.batch_indices(2)))
+    # batches still collate
+    b = next(iter(ld2))
+    assert b.x.shape[0] > 0

@@ -208,3 +208,30 @@ def test_profile_config_section_writes_trace(tmp_path, monkeypatch):
             if any(f.endswith(".pb") or "trace" in f for f in files):
                 found = True
     assert found, "no trace artifacts under profile dir"
+
+
+def test_region_timers_and_trace_level(tmp_path, monkeypatch):
+    """RegionTimers: history, summary, CSV dump, and the
+    HYDRAGNN_TPU_TRACE_LEVEL=1 device-sync stop path."""
+    monkeypatch.setenv("HYDRAGNN_TPU_TRACE_LEVEL", "1")
+    from hydragnn_tpu.utils.tracer import RegionTimers
+
+    tr = RegionTimers()
+    assert tr.trace_level == 1
+    import jax.numpy as jnp
+
+    with tr.region("step"):
+        jnp.ones((8, 8)) @ jnp.ones((8, 8))
+    tr.start("io")
+    tr.stop("io")
+    s = tr.summary()
+    assert s["step"]["count"] == 1 and s["step"]["total"] > 0
+    path = tr.save(str(tmp_path))
+    with open(path) as f:
+        body = f.read()
+    assert "step" in body and "io" in body
+    # disabled timers record nothing
+    tr.disable()
+    tr.start("skipped")
+    tr.stop("skipped")
+    assert "skipped" not in tr.summary()
