@@ -8,9 +8,9 @@ data.  Per-branch loaders feed the branch rows of the mesh; gradients
 reduce with a single psum over both axes (see parallel/branch.py for why
 that equals the reference's two-level process groups).
 
-Run (single host, virtual devices):
-  JAX_PLATFORM_NAME=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-      python examples/multibranch/train.py
+Run (single host; provisions an 8-device virtual CPU mesh in-process when
+fewer than n_branch*n_data real chips are visible):
+  python examples/multibranch/train.py
 """
 
 import os
@@ -51,6 +51,9 @@ def main(n_branch=2, n_data=4, epochs=5, batch=4):
     )
     from hydragnn_tpu.train.loop import Trainer
 
+    from hydragnn_tpu.parallel.runtime import ensure_devices
+
+    ensure_devices(n_branch * n_data)  # virtual CPU mesh on single-chip hosts
     assert len(jax.devices()) >= n_branch * n_data
 
     branches = [
@@ -141,6 +144,9 @@ def main_mlip(n_branch=2, n_data=4, epochs=5, batch=4):
     )
     from hydragnn_tpu.train.loop import Trainer
 
+    from hydragnn_tpu.parallel.runtime import ensure_devices
+
+    ensure_devices(n_branch * n_data)  # virtual CPU mesh on single-chip hosts
     assert len(jax.devices()) >= n_branch * n_data
 
     # two corpora = two potentials (different eps/sigma), one per branch

@@ -62,6 +62,9 @@ def branch_trial(hp, n_branch=2, n_data=4, epochs=4, batch=4):
     )
     from hydragnn_tpu.train.loop import Trainer
 
+    from hydragnn_tpu.parallel.runtime import ensure_devices
+
+    ensure_devices(n_branch * n_data)  # virtual CPU mesh on single-chip hosts
     assert len(jax.devices()) >= n_branch * n_data
 
     branches = [

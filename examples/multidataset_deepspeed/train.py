@@ -101,9 +101,12 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
-        import jax
+        # 8-device virtual CPU mesh so the ZeRO-1/FSDP sharding variants
+        # actually shard (in-process forcing: the PJRT plugin ignores
+        # JAX_PLATFORMS env vars on single-chip tunnel hosts)
+        from hydragnn_tpu.parallel.runtime import ensure_devices
 
-        jax.config.update("jax_platforms", "cpu")
+        ensure_devices(8)
     import jax
 
     ndev = len(jax.devices())

@@ -44,6 +44,29 @@ def setup_distributed(
     return jax.process_count(), jax.process_index()
 
 
+def ensure_devices(n: int) -> None:
+    """Guarantee at least ``n`` JAX devices for multi-chip code paths.
+
+    On a real slice this is a no-op.  On a single-chip or CPU host it
+    rebuilds the backend as an ``n``-device virtual CPU mesh.  In-process
+    config is the only reliable switch: PJRT plugins registered from a
+    sitecustomize (this environment's single-chip TPU tunnel) take
+    precedence over the ``JAX_PLATFORMS`` / ``XLA_FLAGS`` env vars.
+    """
+    import jax
+
+    if len(jax.devices()) >= n:
+        return
+    import jax.extend.backend as jexb
+
+    jexb.clear_backends()
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", n)
+    assert len(jax.devices()) >= n, (
+        f"could not provision {n} virtual devices (have {len(jax.devices())})"
+    )
+
+
 def get_comm_size_and_rank() -> Tuple[int, int]:
     import jax
 
