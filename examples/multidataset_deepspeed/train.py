@@ -18,9 +18,9 @@ This driver runs the same mixed ANI1x+MPTrj MLIP trial with ZeRO-1 or
 FSDP on the local device mesh and prints the loss trajectory next to the
 plain data-parallel run to show the sharded paths are loss-equivalent.
 
-Usage:
-  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-      python examples/multidataset_deepspeed/train.py --cpu \
+Usage (``--cpu`` provisions the 8-device virtual CPU mesh in-process; no
+XLA_FLAGS needed — the PJRT plugin ignores those env vars anyway):
+  python examples/multidataset_deepspeed/train.py --cpu \
       [--mode zero1|fsdp|both] [--num_epoch N] [--num_samples N]
 """
 
@@ -103,10 +103,11 @@ def main():
     if args.cpu:
         # 8-device virtual CPU mesh so the ZeRO-1/FSDP sharding variants
         # actually shard (in-process forcing: the PJRT plugin ignores
-        # JAX_PLATFORMS env vars on single-chip tunnel hosts)
+        # JAX_PLATFORMS env vars on single-chip tunnel hosts); force_cpu
+        # honors the flag even on hosts with >= 8 accelerator devices
         from hydragnn_tpu.parallel.runtime import ensure_devices
 
-        ensure_devices(8)
+        ensure_devices(8, force_cpu=True)
     import jax
 
     ndev = len(jax.devices())

@@ -44,27 +44,44 @@ def setup_distributed(
     return jax.process_count(), jax.process_index()
 
 
-def ensure_devices(n: int) -> None:
+def ensure_devices(n: int, force_cpu: bool = False) -> None:
     """Guarantee at least ``n`` JAX devices for multi-chip code paths.
 
-    On a real slice this is a no-op.  On a single-chip or CPU host it
-    rebuilds the backend as an ``n``-device virtual CPU mesh.  In-process
+    On a real slice this is a no-op (unless ``force_cpu``).  On a
+    single-chip or CPU host it rebuilds the backend as an ``n``-device
+    virtual CPU mesh.  With ``force_cpu=True`` the backend is rebuilt onto
+    CPU unconditionally — the contract of example ``--cpu`` flags — even
+    on hosts that already expose >= ``n`` accelerator devices.  In-process
     config is the only reliable switch: PJRT plugins registered from a
     sitecustomize (this environment's single-chip TPU tunnel) take
     precedence over the ``JAX_PLATFORMS`` / ``XLA_FLAGS`` env vars.
     """
     import jax
 
-    if len(jax.devices()) >= n:
+    backend = jax.default_backend()
+    if len(jax.devices()) >= n and not (force_cpu and backend != "cpu"):
         return
     import jax.extend.backend as jexb
 
+    if backend != "cpu":
+        # users on partially-equipped slices (e.g. 4 real chips when n=8)
+        # must know their accelerators were discarded for a CPU mesh
+        import warnings
+
+        warnings.warn(
+            f"ensure_devices: replacing '{backend}' backend "
+            f"({len(jax.devices())} device(s)) with a {n}-device virtual "
+            "CPU mesh",
+            stacklevel=2,
+        )
     jexb.clear_backends()
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", n)
-    assert len(jax.devices()) >= n, (
-        f"could not provision {n} virtual devices (have {len(jax.devices())})"
-    )
+    if len(jax.devices()) < n:
+        raise RuntimeError(
+            f"could not provision {n} virtual devices "
+            f"(have {len(jax.devices())})"
+        )
 
 
 def get_comm_size_and_rank() -> Tuple[int, int]:
