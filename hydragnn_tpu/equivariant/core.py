@@ -116,13 +116,54 @@ def real_spherical_harmonics(vec: jnp.ndarray, max_l: int) -> Dict[int, jnp.ndar
 # ---------------------------------------------------------------------------
 
 
+def _np_sh_generic(vec: np.ndarray, l: int) -> np.ndarray:
+    """Real spherical harmonics of any degree l (host numpy, float64),
+    component normalization (sum_m Y_lm^2 = 2l+1), standard m = -l..l
+    ordering (sin branch first).  Used only to derive Wigner-D/CG constants
+    for l > 3 (higher-order MACE intermediates); the model-side basis stays
+    the explicit formulas in :func:`real_spherical_harmonics`."""
+    v = np.asarray(vec, np.float64)
+    x, y, z = v[:, 0], v[:, 1], v[:, 2]
+    r = np.sqrt(x * x + y * y + z * z)
+    ct = np.clip(z / np.maximum(r, 1e-300), -1.0, 1.0)
+    phi = np.arctan2(y, x)
+    st2 = np.maximum(1.0 - ct * ct, 0.0)
+    # associated Legendre P_l^m (no Condon-Shortley phase), m = 0..l
+    P = {}
+    pmm = np.ones_like(ct)
+    for m in range(l + 1):
+        P[(m, m)] = pmm
+        if m < l:
+            P[(m + 1, m)] = ct * (2 * m + 1) * pmm
+            for ll in range(m + 2, l + 1):
+                P[(ll, m)] = (
+                    (2 * ll - 1) * ct * P[(ll - 1, m)]
+                    - (ll + m - 1) * P[(ll - 2, m)]
+                ) / (ll - m)
+        pmm = pmm * (2 * m + 1) * np.sqrt(st2)
+    from math import factorial
+
+    cols = []
+    for m in range(-l, l + 1):
+        am = abs(m)
+        N = math.sqrt(
+            (2 * l + 1) * factorial(l - am) / factorial(l + am)
+        ) * (math.sqrt(2.0) if m != 0 else 1.0)
+        ang = np.sin(am * phi) if m < 0 else np.cos(am * phi)
+        cols.append(N * P[(l, am)] * ang)
+    return np.stack(cols, axis=-1)
+
+
 def _np_sh(vec: np.ndarray, max_l: int) -> Dict[int, np.ndarray]:
     import jax
 
     v = jnp.asarray(vec)
     with jax.default_device(jax.devices("cpu")[0]):
-        out = real_spherical_harmonics(v, max_l)
-    return {l: np.asarray(a, np.float64) for l, a in out.items()}
+        out = real_spherical_harmonics(v, min(max_l, 3))
+    res = {l: np.asarray(a, np.float64) for l, a in out.items()}
+    for l in range(4, max_l + 1):
+        res[l] = _np_sh_generic(np.asarray(vec, np.float64), l)
+    return res
 
 
 def _rotation_matrices(rng: np.random.Generator, k: int) -> np.ndarray:

@@ -187,6 +187,10 @@ class StackConfig:
     max_ell: int = 1
     node_max_ell: int = 1
     correlation: Tuple[int, ...] = (2,)
+    # MACE product basis: "umatrix" = U-matrix symmetric contraction (the
+    # reference algorithm, symmetric_contraction.py:29-239, re-derived
+    # numerically); "cg" = iterated-CG products (documented alternative)
+    product_basis: str = "umatrix"
     avg_num_neighbors: float = 10.0
     num_elements: int = 118
     # misc

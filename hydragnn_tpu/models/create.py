@@ -91,6 +91,7 @@ def stack_config_from_architecture(
         max_ell=int(arch.get("max_ell", 1) or 1),
         node_max_ell=int(arch.get("node_max_ell", 1) or 1),
         correlation=tuple(int(c) for c in corr),
+        product_basis=arch.get("product_basis", "umatrix") or "umatrix",
         avg_num_neighbors=float(arch.get("avg_num_neighbors") or 10.0),
         num_elements=int(arch.get("num_elements", 118) or 118),
         freeze_conv=bool(arch.get("freeze_conv_layers", False)),

@@ -67,6 +67,26 @@ def _mha(x, node_mask, node_graph, per_graph, channels: int, heads: int,
         and N % 128 == 0
         and x.dtype in (jnp.float32, jnp.bfloat16)
     )
+    if use_flash and D <= 64 and D % 8 == 0 and N <= 32768:
+        # small-head-dim kernel: D stays native instead of padded to 128
+        # (4x less MXU work + HBM traffic at D=32; K/V live in VMEM) —
+        # ops/flash_attention.py
+        from hydragnn_tpu.ops.flash_attention import flash_attention_small_d
+
+        # padding nodes already carry the reserved padding graph id, which
+        # isolates them in per-graph mode; the whole-batch quirk uses one
+        # real segment + one padding segment
+        seg = (
+            node_graph
+            if per_graph
+            else jnp.where(node_mask, 0, 1).astype(jnp.int32)
+        )
+        out = flash_attention_small_d(
+            q.swapaxes(0, 1), k.swapaxes(0, 1), v.swapaxes(0, 1),
+            seg, float(D) ** -0.5,
+        )
+        out = out.swapaxes(0, 1).reshape(N, channels)
+        return nn.Dense(channels, name="attn_out_proj")(out)
     if use_flash:
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             BlockSizes,

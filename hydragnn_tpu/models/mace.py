@@ -8,12 +8,14 @@ Capability re-derivation of the reference MACE stack
   * spherical-harmonic edge attributes (component norm),
   * interaction = per-edge-weighted uvu tensor product + scatter-sum
     / avg_num_neighbors + skip (``blocks.py:301-404``),
-  * product basis = higher-order (correlation-nu) symmetric products with
-    per-element weights.  DIVERGENCE (documented): the reference contracts
-    with precomputed e3nn U-matrices (``symmetric_contraction.py:92-140``);
-    here the same n-body space is built by iterated CG products, which is
-    equivariant and spans the same correlations but is not
-    coefficient-identical to e3nn,
+  * product basis = higher-order (correlation-nu) symmetric contraction.
+    Default ``product_basis="umatrix"`` evaluates the reference's own
+    algorithm (``symmetric_contraction.py:29-239``) against numerically
+    self-derived U tensors (``equivariant/umatrix.py``) — same path
+    structure, component normalization, and Horner evaluation, with the
+    only residual divergence being the documented CG basis convention
+    (equivariant/core.py).  ``product_basis="cg"`` keeps the r01/r02
+    iterated-CG products as a documented alternative,
   * per-layer multihead readout decoders summed across layers
     (``MACEStack.py:375-421``), positions centered per graph (:434-443).
 """
@@ -232,13 +234,26 @@ class MACELayer(nn.Module):
             l: v / self.cfg.avg_num_neighbors for l, v in message.items()
         }
 
-        # product basis (n-body) + skip
-        prod = SymmetricProduct(
-            irreps=self.hidden_irreps,
-            correlation=self.correlation,
-            num_elements=cfg.num_elements,
-            name="product",
-        )(message, node_attrs)
+        # product basis (n-body) + skip; default = the reference's U-matrix
+        # symmetric contraction (symmetric_contraction.py:29-239) with
+        # numerically self-derived U tensors, iterated-CG kept as the
+        # documented alternative (cfg.product_basis)
+        if cfg.product_basis == "umatrix":
+            from hydragnn_tpu.equivariant.umatrix import SymmetricContractionU
+
+            prod = SymmetricContractionU(
+                irreps=self.hidden_irreps,
+                correlation=self.correlation,
+                num_elements=cfg.num_elements,
+                name="product",
+            )(message, node_attrs)
+        else:
+            prod = SymmetricProduct(
+                irreps=self.hidden_irreps,
+                correlation=self.correlation,
+                num_elements=cfg.num_elements,
+                name="product",
+            )(message, node_attrs)
         feats_out = {l: prod[l] + sc[l] for l in prod}
 
         # sizing linear to output irreps

@@ -137,15 +137,20 @@ def segment_sum_pallas_raw(
     from jax.experimental.pallas import tpu as pltpu
 
     E, F = data.shape
-    TN, TE, MB = meta
+    TN, TE, MB = meta[:3]
     n_tiles = (n_node + TN - 1) // TN
     TF = max(
         (t for t in (tile_features, 256, 128) if F % t == 0), default=None
     )
     assert TF is not None, f"F={F} must be a multiple of 128"
     assert n_node % TN == 0, f"n_node={n_node} % TN={TN}"
-    # TE rows of slack so unaligned [off, off+TE) windows stay in bounds
-    data = jnp.concatenate([data, jnp.zeros((TE,) + data.shape[1:], data.dtype)])
+    # keep every [off, off+TE) DMA window in bounds: skip the (full [E, F]
+    # HBM copy!) safety concat when the batch's edge budget already covers
+    # the plan's last window (meta[3] from _build_agg_plans)
+    if not (len(meta) > 3 and E >= meta[3]):
+        data = jnp.concatenate(
+            [data, jnp.zeros((TE,) + data.shape[1:], data.dtype)]
+        )
 
     def kernel(off_ref, nb_ref, sid_ref, x_hbm, o_ref, xs, sem_x):
         f = pl.program_id(0)
@@ -255,14 +260,17 @@ def segment_minmax_pallas_raw(
     from jax.experimental.pallas import tpu as pltpu
 
     E, F = data.shape
-    TN, TE, MB = meta
+    TN, TE, MB = meta[:3]
     n_tiles = (n_node + TN - 1) // TN
     TF = max(
         (t for t in (tile_features, 256, 128) if F % t == 0), default=None
     )
     assert TF is not None, f"F={F} must be a multiple of 128"
     assert n_node % TN == 0
-    data = jnp.concatenate([data, jnp.zeros((TE,) + data.shape[1:], data.dtype)])
+    if not (len(meta) > 3 and E >= meta[3]):  # see segment_sum_pallas_raw
+        data = jnp.concatenate(
+            [data, jnp.zeros((TE,) + data.shape[1:], data.dtype)]
+        )
     BIG = 3.0e38  # finite +/-inf sentinel (safe in fp32 arithmetic)
 
     def kernel(off_ref, nb_ref, sid_ref, x_hbm, o_ref, xs, sem_x):

@@ -185,11 +185,7 @@ class Trainer:
         total = 0.0
         tasks_total = None
         n = 0
-        max_nb = _max_num_batch()
-        for nb, batch in enumerate(loader):
-            if max_nb is not None and nb >= max_nb:
-                break
-            ng = int(batch.graph_mask.sum())
+        for ng, batch in _device_batches(loader):
             state, loss, tasks = self.train_step(state, batch)
             total += float(loss) * ng
             t = np.asarray(tasks)
@@ -203,11 +199,7 @@ class Trainer:
         total = 0.0
         tasks_total = None
         n = 0
-        max_nb = _max_num_batch()
-        for nb, batch in enumerate(loader):
-            if max_nb is not None and nb >= max_nb:
-                break
-            ng = int(batch.graph_mask.sum())
+        for ng, batch in _device_batches(loader):
             loss, tasks = self.eval_step(state, batch)
             total += float(loss) * ng
             t = np.asarray(tasks)
@@ -216,6 +208,46 @@ class Trainer:
         if tasks_total is None:
             return 0.0, np.zeros((1,))
         return total / max(n, 1), tasks_total / max(n, 1)
+
+
+def _device_batches(loader, depth: int = 2):
+    """Yield ``(num_real_graphs, device_batch)`` with the host->device
+    transfer issued ``depth`` batches ahead of consumption.
+
+    ``jax.device_put`` is asynchronous, so enqueueing the NEXT batch's
+    transfer before the current step runs overlaps H2D with compute — the
+    device-side completion of the reference's prefetching dataloader
+    (``load_data.py:94-204``; host-side collation overlap lives in
+    ``data/prefetch.py``).  Profiling on the v5e showed per-step H2D of the
+    numpy batch serializing with compute and dominating small steps.  The
+    graph count is read on the host BEFORE the transfer so the epoch loop
+    never syncs the device for bookkeeping.
+
+    Skipped for multi-device sharded batches (loader yields already-placed
+    arrays) — ``device_put`` without a sharding would gather them onto one
+    device.
+    """
+    import jax
+
+    max_nb = _max_num_batch()
+    if jax.device_count() > 1:
+        for nb, batch in enumerate(loader):
+            if max_nb is not None and nb >= max_nb:
+                break
+            yield int(np.asarray(batch.graph_mask).sum()), batch
+        return
+    from collections import deque
+
+    buf: deque = deque()
+    for nb, batch in enumerate(loader):
+        if max_nb is not None and nb >= max_nb:
+            break
+        ng = int(np.asarray(batch.graph_mask).sum())
+        buf.append((ng, jax.device_put(batch)))
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
 
 
 def _max_num_batch() -> Optional[int]:
