@@ -67,7 +67,15 @@ def _mha(x, node_mask, node_graph, per_graph, channels: int, heads: int,
         and N % 128 == 0
         and x.dtype in (jnp.float32, jnp.bfloat16)
     )
-    if use_flash and D <= 64 and D % 8 == 0 and N <= 32768:
+    from hydragnn_tpu.ops.flash_attention import block_plan
+
+    if (
+        use_flash
+        and D <= 64
+        and D % 8 == 0
+        and N <= 32768
+        and block_plan(N) is not None
+    ):
         # small-head-dim kernel: D stays native instead of padded to 128
         # (4x less MXU work + HBM traffic at D=32; K/V live in VMEM) —
         # ops/flash_attention.py
@@ -83,7 +91,7 @@ def _mha(x, node_mask, node_graph, per_graph, channels: int, heads: int,
         )
         out = flash_attention_small_d(
             q.swapaxes(0, 1), k.swapaxes(0, 1), v.swapaxes(0, 1),
-            seg, float(D) ** -0.5,
+            seg, float(D) ** -0.5, per_graph,
         )
         out = out.swapaxes(0, 1).reshape(N, channels)
         return nn.Dense(channels, name="attn_out_proj")(out)

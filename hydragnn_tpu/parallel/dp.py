@@ -39,8 +39,34 @@ def stack_batches(batches: Sequence[GraphBatch]) -> GraphBatch:
 
 
 def shard_stacked_batch(stacked: GraphBatch, mesh: Mesh) -> GraphBatch:
+    """Place a stacked batch with leading dim = device count (single
+    process) or LOCAL device count (multi-process: each process stacks the
+    sub-batches for its own addressable devices and the global array is
+    assembled across processes — the data path of the reference's per-rank
+    DistributedSampler, ``load_data.py:252-282``)."""
     spec = NamedSharding(mesh, P("data"))
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                spec, np.asarray(x)
+            ),
+            stacked,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, spec), stacked)
+
+
+def put_replicated(tree, mesh: Mesh):
+    """Replicate host-identical values over every device of (a possibly
+    multi-process) mesh."""
+    spec = NamedSharding(mesh, P())
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, spec), tree)
+
+    def _one(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, spec, lambda idx: x[idx])
+
+    return jax.tree.map(_one, tree)
 
 
 def make_dp_train_step(model, tx, mesh: Mesh):
@@ -431,20 +457,25 @@ class DataParallelTrainer:
         return self._unravel(jnp.asarray(flat))
 
     def place_state(self, state):
-        """device_put every leaf with its mesh sharding (replicated, or
+        """Place every leaf with its mesh sharding (replicated, or
         data-sharded opt-state under ZeRO-1).  Needed after a checkpoint
         restore: orbax hands back arrays committed to device 0, which jit
-        refuses to mix with mesh-sharded batch inputs."""
+        refuses to mix with mesh-sharded batch inputs.  Multi-process:
+        host-identical leaves are assembled with make_array_from_callback
+        (device_put cannot target non-addressable devices)."""
         specs = self._state_specs(state)
+        multi = jax.process_count() > 1
+
+        def _put(x, s):
+            sh = NamedSharding(self.mesh, s)
+            if not multi:
+                return jax.device_put(x, sh)
+            a = np.asarray(jax.device_get(x))
+            return jax.make_array_from_callback(a.shape, sh, lambda idx: a[idx])
+
         if not isinstance(specs, P):
-            return jax.tree.map(
-                lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
-                state,
-                specs,
-            )
-        return jax.tree.map(
-            lambda x: jax.device_put(x, NamedSharding(self.mesh, P())), state
-        )
+            return jax.tree.map(lambda x, s: _put(x, s), state, specs)
+        return jax.tree.map(lambda x: _put(x, P()), state)
 
     @property
     def predict_step(self):
@@ -469,22 +500,53 @@ class DataParallelTrainer:
 
     # grouping ---------------------------------------------------------------
     def _groups(self, loader):
-        """Yield stacked+sharded groups of n_dev same-shape batches; with a
+        """Yield stacked+sharded groups of same-shape batches; with a
         BucketedBatcher upstream, batches are pooled per padded shape (one
         executable per bucket).  Ragged tails are padded with all-masked
-        empty batches (ng-weighting makes them no-ops)."""
+        empty batches (ng-weighting makes them no-ops).
+
+        Each PROCESS stacks only the sub-batches for its own addressable
+        devices; the global array spans the mesh (multi-host DP).  In
+        multi-process mode the local batch stream is capped at the minimum
+        count across processes so every process executes the same number of
+        collectives — the analogue of the reference's lockstep
+        ``MPI.allreduce(nbatch, MIN)`` (train_validate_test.py:672)."""
         import numpy as _np
+
+        n_local = max(self.n_dev // jax.process_count(), 1)
 
         def shape_key(batch):
             return tuple(
                 _np.asarray(x).shape for x in jax.tree.leaves(batch)
             )
 
+        def stream():
+            if jax.process_count() == 1:
+                yield from loader
+                return
+            from jax.experimental import multihost_utils
+
+            try:
+                nb_local = len(loader)
+            except TypeError:
+                nb_local = None
+            if nb_local is None:
+                yield from loader
+                return
+            counts = multihost_utils.process_allgather(
+                np.asarray([nb_local], np.int64)
+            )
+            nb_min = int(np.asarray(counts).min())
+            for i, batch in enumerate(loader):
+                if i >= nb_min:
+                    break
+                yield batch
+
         pending = {}
-        for batch in loader:
+        for batch in stream():
             k = shape_key(batch)
             pending.setdefault(k, []).append(batch)
-            if len(pending[k]) == self.n_dev:
+            if len(pending[k]) == n_local:
                 yield shard_stacked_batch(stack_batches(pending[k]), self.mesh)
                 pending[k] = []
         for group in pending.values():
@@ -493,7 +555,7 @@ class DataParallelTrainer:
             empty = jax.tree.map(
                 lambda x: _np.zeros_like(_np.asarray(x)), group[0]
             )
-            group = group + [empty] * (self.n_dev - len(group))
+            group = group + [empty] * (n_local - len(group))
             yield shard_stacked_batch(stack_batches(group), self.mesh)
 
     def run_epoch(self, state, loader):

@@ -204,3 +204,44 @@ def test_pallas_force_training_grad_of_grad():
     assert abs(l1 - l2) / max(abs(l2), 1.0) < 1e-3
 
 
+
+
+def test_flash_attention_small_d_parity():
+    """Small-head-dim flash kernel vs the dense einsum reference: forward
+    and all three input grads, both dense and block-sparse modes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hydragnn_tpu.ops.flash_attention import flash_attention_small_d
+
+    H, N, D = 2, 1536, 32
+    rng = np.random.default_rng(0)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(H, N, D)), jnp.float32) for _ in range(3)
+    )
+    seg = jnp.asarray(np.repeat(np.arange(6), 256).astype(np.int32))
+    sm = D**-0.5
+
+    def ref(q, k, v):
+        s = jnp.einsum("hnd,hmd->hnm", q, k) * sm
+        mask = seg[:, None] == seg[None, :]
+        s = jnp.where(mask[None], s, -1e30)
+        return jnp.einsum("hnm,hmd->hnd", jax.nn.softmax(s, -1), v)
+
+    o_ref = ref(q, k, v)
+    g_ref = jax.grad(
+        lambda q, k, v: jnp.sum(ref(q, k, v) ** 2), (0, 1, 2)
+    )(q, k, v)
+    for bs in (False, True):
+        o = flash_attention_small_d(q, k, v, seg, sm, bs)
+        assert float(jnp.abs(o - o_ref).max()) < 5e-3
+        g = jax.grad(
+            lambda q, k, v: jnp.sum(
+                flash_attention_small_d(q, k, v, seg, sm, bs) ** 2
+            ),
+            (0, 1, 2),
+        )(q, k, v)
+        for a, b in zip(g, g_ref):
+            rel = float(jnp.abs(a - b).max() / jnp.abs(b).max())
+            assert rel < 3e-2, rel
