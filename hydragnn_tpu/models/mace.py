@@ -152,6 +152,84 @@ class SymmetricProduct(nn.Module):
         return out
 
 
+def weighted_tp_mmajor(
+    x_m: jnp.ndarray,  # [E, dim_in*mul] m-major (col = i*mul + u per l)
+    sh_flat: jnp.ndarray,  # [E, S] concat of sh l-columns
+    w_flat: jnp.ndarray,  # [E, n_paths*mul] (col = p*mul + u)
+    irreps_in: Irreps,
+    max_l_sh: int,
+    max_l_out: int,
+    mul: int,
+):
+    """uvu tensor product in m-major layout with scalar-unrolled CG.
+
+    Numerically identical to :class:`WeightedTPConv` (parity-tested) but
+    TPU-shaped: every operation is an elementwise multiply-add on
+    contiguous [E, mul] column blocks — no batched tiny gemms, no
+    [E, mul, i] strided slices, no per-path [E, i, k] intermediates — so
+    XLA fuses the whole product into a few passes over x/w/sh.  Profiling
+    r03 showed the u-major module spending ~40% of the MACE step in
+    copy/reshape/split data movement.
+
+    Returns (out_m [E, dim_out*mul], out_ls) with out_m m-major over
+    ``out_ls`` (ascending l3).
+    """
+    paths = tp_instructions(irreps_in, max_l_sh, max_l_out)
+    counts: Dict[int, int] = {}
+    for _, _, l3 in paths:
+        counts[l3] = counts.get(l3, 0) + 1
+    out_ls = sorted(counts)
+    in_ls = sorted(l for _, l in irreps_in)
+    in_off = {}
+    off = 0
+    for l in in_ls:
+        in_off[l] = off
+        off += (2 * l + 1) * mul
+    sh_off = {l: l * l for l in range(max_l_sh + 1)}  # sum of (2k+1), k<l
+    acc: Dict[Tuple[int, int], jnp.ndarray] = {}
+    for p, (l1, l2, l3) in enumerate(paths):
+        C = clebsch_gordan(l1, l2, l3) / math.sqrt(counts[l3])
+        w_p = jax.lax.dynamic_slice_in_dim(w_flat, p * mul, mul, axis=1)
+        for i in range(2 * l1 + 1):
+            nz = np.argwhere(np.abs(C[i]) > 1e-12)
+            if nz.size == 0:
+                continue
+            x_i = jax.lax.dynamic_slice_in_dim(
+                x_m, in_off[l1] + i * mul, mul, axis=1
+            )
+            xi_wp = x_i * w_p  # shared across this row's (j, k) nonzeros
+            for j, k in nz:
+                c = float(C[i, j, k])
+                shc = sh_flat[:, sh_off[l2] + j : sh_off[l2] + j + 1]
+                term = (c * shc) * xi_wp
+                key = (l3, int(k))
+                acc[key] = acc.get(key, 0.0) + term
+    cols = [acc[(l3, k)] for l3 in out_ls for k in range(2 * l3 + 1)]
+    return jnp.concatenate(cols, axis=-1), out_ls
+
+
+def flatten_mmajor(x: IrrepsArray, ls) -> jnp.ndarray:
+    """{l: [N, mul, 2l+1]} -> m-major flat [N, sum (2l+1)*mul] (node-level
+    transposes only)."""
+    parts = []
+    for l in ls:
+        a = x[l]
+        parts.append(jnp.swapaxes(a, 1, 2).reshape(a.shape[0], -1))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def unflatten_mmajor(flat: jnp.ndarray, ls, mul: int) -> IrrepsArray:
+    out = {}
+    off = 0
+    for l in ls:
+        d = (2 * l + 1) * mul
+        out[l] = jnp.swapaxes(
+            flat[:, off : off + d].reshape(flat.shape[0], 2 * l + 1, mul), 1, 2
+        )
+        off += d
+    return out
+
+
 class MACELayer(nn.Module):
     """Interaction + product basis + sizing (one graph_convs entry,
     ``MACEStack.py:280-373``)."""
@@ -210,22 +288,23 @@ class MACELayer(nn.Module):
             w = nn.Dense(d, name=f"tp_w_{i}")(w)
             if i < 3:
                 w = jax.nn.silu(w)
-        weights = w.reshape(-1, n_paths, mul)
 
-        # gather all l-channels in one lane-aligned flat pass
-        up_irreps = tuple((up[l].shape[1], l) for l in sorted(up))
-        from hydragnn_tpu.equivariant.core import flatten_irreps, unflatten_irreps
-
-        up_flat = flatten_irreps({l: up[l] for l in sorted(up)}, up_irreps)
-        gathered = unflatten_irreps(
-            gather_nodes(graph, up_flat, "senders"), up_irreps
+        # m-major TP: gather once in m-major layout, run the scalar-
+        # unrolled product (weighted_tp_mmajor, numerically == WeightedTPConv),
+        # aggregate the m-major messages — layout conversions happen at
+        # NODE granularity only (E/N ~ avg degree cheaper)
+        up_ls = sorted(up)
+        up_m = flatten_mmajor(up, up_ls)
+        x_m = gather_nodes(graph, up_m, "senders")
+        sh_flat = jnp.concatenate(
+            [edge_sh[l] for l in range(cfg.max_ell + 1)], axis=-1
         )
-        mji = tp(gathered, edge_sh, weights)
-        # aggregate all output l-channels in one flat pass
-        mji_irreps = tuple((mji[l].shape[1], l) for l in sorted(mji))
-        mji_flat = flatten_irreps({l: mji[l] for l in sorted(mji)}, mji_irreps)
-        agg_flat = aggregate(graph, mji_flat, "sum", "receivers")
-        message: IrrepsArray = unflatten_irreps(agg_flat, mji_irreps)
+        mji_m, out_ls = weighted_tp_mmajor(
+            x_m, sh_flat, w,
+            self.node_irreps_in, cfg.max_ell, cfg.node_max_ell, mul,
+        )
+        agg_m = aggregate(graph, mji_m, "sum", "receivers")
+        message: IrrepsArray = unflatten_mmajor(agg_m, out_ls, mul)
         mid_irreps = tuple((mul, l) for l in sorted(message))
         message = LinearIrreps(mid_irreps, self.hidden_irreps, name="linear_mid")(
             message

@@ -190,3 +190,47 @@ def test_mace_stack_umatrix_vs_cg_both_run():
         out = model.apply(params, batch)
         for o in out:
             assert bool(jnp.all(jnp.isfinite(o)))
+
+
+def test_weighted_tp_mmajor_matches_module():
+    """The m-major scalar-unrolled TP (the TPU-shaped path MACELayer uses)
+    is numerically identical to the golden-pinned WeightedTPConv module."""
+    import jax
+    import jax.numpy as jnp
+
+    from hydragnn_tpu.models.mace import (
+        WeightedTPConv,
+        flatten_mmajor,
+        unflatten_mmajor,
+        weighted_tp_mmajor,
+    )
+
+    rng = np.random.default_rng(11)
+    E, mul, max_sh, max_out = 17, 4, 2, 1
+    irreps_in = ((mul, 0), (mul, 1))
+    x = {
+        0: jnp.asarray(rng.normal(size=(E, mul, 1)), jnp.float32),
+        1: jnp.asarray(rng.normal(size=(E, mul, 3)), jnp.float32),
+    }
+    sh = {
+        l: jnp.asarray(rng.normal(size=(E, 2 * l + 1)), jnp.float32)
+        for l in range(max_sh + 1)
+    }
+    tp = WeightedTPConv(irreps_in=irreps_in, max_l_sh=max_sh, max_l_out=max_out)
+    n_paths = len(tp.paths())
+    w = jnp.asarray(rng.normal(size=(E, n_paths, mul)), jnp.float32)
+
+    ref = tp.apply({}, x, sh, w)
+
+    x_m = flatten_mmajor(x, [0, 1])
+    sh_flat = jnp.concatenate([sh[l] for l in range(max_sh + 1)], axis=-1)
+    w_flat = w.reshape(E, n_paths * mul)
+    out_m, out_ls = weighted_tp_mmajor(
+        x_m, sh_flat, w_flat, irreps_in, max_sh, max_out, mul
+    )
+    got = unflatten_mmajor(out_m, out_ls, mul)
+    assert sorted(got) == sorted(ref)
+    for l in ref:
+        assert np.allclose(
+            np.asarray(got[l]), np.asarray(ref[l]), atol=1e-5
+        ), l
