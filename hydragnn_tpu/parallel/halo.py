@@ -362,8 +362,11 @@ def make_halo_train_fns(
 def build_stack_halo_view(
     sample, n_shards: int, align: int = 8, aggregate_at: str = "receivers"
 ):
-    """Partition ONE GraphSample into a stacked [S, ...] GraphBatch of
-    per-shard local views for shard_map over a ``graph`` mesh axis.
+    """Partition one GraphSample — or a LIST of samples (a batch of
+    giants, VERDICT r02 item 5a) — into a stacked [S, ...] GraphBatch of
+    per-shard local views for shard_map over a ``graph`` mesh axis.  With
+    K samples the view carries K real graphs; pooling/losses segment by
+    the real graph ids and psum partial per-graph sums across shards.
 
     Each shard's node arrays are [block + S*h]: its local block followed by
     HALO COPIES of the remote nodes its in-edges read.  Static per-node
@@ -387,12 +390,14 @@ def build_stack_halo_view(
 
     assert aggregate_at in ("receivers", "senders")
     S = n_shards
-    sort_edges_by_receiver([sample])
+    samples = sample if isinstance(sample, (list, tuple)) else [sample]
+    K = len(samples)
+    sort_edges_by_receiver(samples)
     batch = collate(
-        [sample],
-        _round_up(sample.num_nodes + 1, S * align),
-        _round_up(sample.num_edges, align),
-        2,
+        samples,
+        _round_up(sum(t.num_nodes for t in samples) + 1, S * align),
+        _round_up(max(sum(t.num_edges for t in samples), 1), align),
+        K + 1,
     )
     batch = pad_to_multiple(batch, S)
     plan_batch = batch
@@ -430,7 +435,9 @@ def build_stack_halo_view(
     x_sh = node_field(batch.x)
     pos_sh = node_field(batch.pos)
     mask_sh = node_field(nm, halo_valid=False)  # halo rows masked out
-    node_graph_sh = np.where(mask_sh, 0, 1).astype(np.int32)
+    # real graph ids for local real rows; halo/padding rows -> pad graph K
+    ng_sh = node_field(np.asarray(batch.node_graph), halo_valid=False)
+    node_graph_sh = np.where(mask_sh, ng_sh, K).astype(np.int32)
     y_node_sh = (
         node_field(batch.y_node) if batch.y_node is not None else None
     )
@@ -462,25 +469,34 @@ def build_stack_halo_view(
         else None
     )
 
-    n_loc_real = mask_sh.sum(axis=1).astype(np.int32)  # [S]
-    graph_mask_sh = np.tile(np.asarray([True, False]), (S, 1))
-    n_per_graph_sh = np.stack(
-        [np.asarray([c, 0], np.int32) for c in n_loc_real]
+    # pad_to_multiple may have widened the graph dim: keep K real + 1 pad
+    graph_mask_sh = np.tile(
+        np.asarray(batch.graph_mask)[: K + 1][None], (S, 1)
     )
-    if batch.y_graph is not None:
-        yg = np.asarray(batch.y_graph)[:1].reshape(1, 1, -1)  # real graph row
-        y_graph_sh = np.concatenate(
-            [np.tile(yg, (S, 1, 1)), np.zeros((S, 1, yg.shape[-1]), yg.dtype)],
-            axis=1,
-        )
-    else:
-        y_graph_sh = None
-    energy_sh = None
-    if batch.energy is not None:
-        e0 = float(np.asarray(batch.energy).reshape(-1)[0])
-        energy_sh = np.tile(
-            np.asarray([e0, 0.0], np.float32), (S, 1)
-        )
+    # per-shard LOCAL real node counts per graph (pooling psums these)
+    n_per_graph_sh = np.stack(
+        [
+            np.bincount(
+                ng_sh[s_][mask_sh[s_]].astype(np.int64), minlength=K + 1
+            ).astype(np.int32)
+            for s_ in range(S)
+        ]
+    )
+    # graph-level targets are replicated: every shard carries the full
+    # [K+1, F] target table (graph heads are identical across shards
+    # after the psum'd pooling)
+    y_graph_sh = (
+        np.tile(np.asarray(batch.y_graph)[: K + 1][None], (S, 1, 1))
+        if batch.y_graph is not None
+        else None
+    )
+    energy_sh = (
+        np.tile(
+            np.asarray(batch.energy)[: K + 1][None], (S, 1)
+        ).astype(np.float32)
+        if batch.energy is not None
+        else None
+    )
 
     view = GraphBatch(
         x=x_sh.astype(np.float32),

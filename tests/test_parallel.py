@@ -1,10 +1,14 @@
 """Multi-device tests on the 8-virtual-CPU mesh: data-parallel shard_map
 step, graph(edge)-partitioned training, and the driver dryrun."""
 
+import os
+
 import numpy as np
 import pytest
 
 import jax
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _setup(n=16, hidden=16):
@@ -723,6 +727,42 @@ def test_gps_attention_on_halo_view_matches_single_device():
     st2, l1, _ = step(state, dev_view)
     assert np.isfinite(float(l1))
 
+    # ring schedule memory bound (VERDICT r02 item 4): no intermediate may
+    # pair the local row count with the GLOBAL node count — peak score
+    # memory is O(N_local * block), not O(N_local * N_total)
+    import jax
+
+    n_local = view.x.shape[1]  # per-shard rows (local block + halo)
+    n_total = S * n_local
+
+    from jax.extend.core import ClosedJaxpr, Jaxpr
+
+    def subjaxprs(params):
+        for v in params.values():
+            vs = v if isinstance(v, (tuple, list)) else (v,)
+            for item in vs:
+                if isinstance(item, ClosedJaxpr):
+                    yield item.jaxpr
+                elif isinstance(item, Jaxpr):
+                    yield item
+
+    def walk(jaxpr, out):
+        for eqn in jaxpr.eqns:
+            for v in eqn.outvars:
+                shape = getattr(getattr(v, "aval", None), "shape", ())
+                out.append(tuple(shape))
+            for sub in subjaxprs(eqn.params):
+                walk(sub, out)
+        return out
+
+    closed = jax.make_jaxpr(eval_loss)(state, dev_view)
+    shapes = walk(closed.jaxpr, [])
+    bad = [
+        sh for sh in shapes
+        if n_total > n_local and n_total in sh and n_local in sh
+    ]
+    assert not bad, f"O(N_local*N_total) intermediates present: {bad[:5]}"
+
 
 def test_run_training_giant_graph_mode(tmp_path, monkeypatch):
     """Config-driven giant-graph training: Training.giant_graph partitions
@@ -802,3 +842,106 @@ def test_ensure_devices_noop_when_enough():
     ensure_devices(len(before))  # satisfied -> no-op
     assert jax.devices() == before
     assert float(x.sum()) == 4.0  # live array still valid
+
+
+def test_giant_graph_mixed_pipeline_parity(tmp_path, monkeypatch):
+    """VERDICT r02 item 5: Training.giant_graph as a node-count THRESHOLD
+    with multiple partitioned graphs per view, mixed with normal batches in
+    one run — the per-epoch losses match a single-device run processing
+    the same giant batch + normal batch sequence."""
+    import copy
+    import json
+    import runpy
+    import sys
+
+    monkeypatch.chdir(tmp_path)
+    sys.path.insert(0, os.path.join(_REPO, "examples/giant_graph"))
+    import jax
+
+    from hydragnn_tpu.data.batching import PaddedBatcher, compute_batch_dims
+
+    gg = runpy.run_path(os.path.join(_REPO, "examples/giant_graph/train.py"))
+    rng_sizes = [360, 360, 48, 48, 48, 48]
+    samples = []
+    for i, n in enumerate(rng_sizes):
+        s = gg["build_giant_lattice"](n, seed=20 + i)
+        s.y_graph = s.y_node.sum(0)
+        s.y_node = None
+        samples.append(s)
+
+    head = {"num_sharedlayers": 1, "dim_sharedlayers": 8,
+            "num_headlayers": 1, "dim_headlayers": [8]}
+    from hydragnn_tpu.models.base import StackConfig, normalize_branches
+    from hydragnn_tpu.models.create import create_model
+    from hydragnn_tpu.parallel.graph_shard import make_graph_mesh
+    from hydragnn_tpu.parallel.halo import (
+        build_stack_halo_view,
+        make_stack_halo_train_fns,
+    )
+    from hydragnn_tpu.train.loop import Trainer
+
+    cfg = StackConfig(
+        input_dim=1,
+        hidden_dim=8,
+        output_dim=(1,),
+        output_type=("graph",),
+        graph_branches=normalize_branches(head),
+        task_weights=(1.0,),
+        num_conv_layers=2,
+    )
+    model = create_model("GIN", cfg)
+
+    # --- mixed pipeline: one 2-giant halo view + one 4-sample batch ---
+    S = 8
+    giants, normals = samples[:2], samples[2:]
+    view, plan, full = build_stack_halo_view(copy.deepcopy(giants), S)
+    mesh = make_graph_mesh(S)
+    tr = Trainer(model, {"type": "AdamW", "learning_rate": 1e-2})
+    step, eval_loss, dev_view = make_stack_halo_train_fns(
+        model, tr.tx, mesh, view
+    )
+    dims = compute_batch_dims(normals, 4)
+    loader = PaddedBatcher(copy.deepcopy(normals), 4, dims=dims)
+    state = tr.init_state(full)
+    mixed = []
+    for epoch in range(3):
+        state, gl, _ = step(state, dev_view)
+        state, nl, _ = tr.run_epoch(state, loader)
+        mixed.append((float(gl), float(nl)))
+
+    # --- single-device reference: same giant batch full, same normals ---
+    tr2 = Trainer(model, {"type": "AdamW", "learning_rate": 1e-2})
+    loader2 = PaddedBatcher(copy.deepcopy(normals), 4, dims=dims)
+    state2 = tr2.init_state(full)
+    ref = []
+    for epoch in range(3):
+        state2, gl, _ = tr2.train_step(state2, full)
+        state2, nl, _ = tr2.run_epoch(state2, loader2)
+        ref.append((float(gl), float(nl)))
+
+    np.testing.assert_allclose(
+        np.asarray(mixed), np.asarray(ref), rtol=2e-4, atol=1e-6
+    )
+
+
+def test_run_training_giant_graph_threshold_mode(tmp_path, monkeypatch):
+    """run_training with giant_graph = {min_nodes, graphs_per_view}: giants
+    go through halo views, the rest through the normal pipeline."""
+    import json
+
+    monkeypatch.chdir(tmp_path)
+    cfg = json.load(open(os.path.join(
+        _REPO, "examples/unit_lattice/config.json"
+    )))
+    cfg["Dataset"]["num_samples"] = 24
+    cfg["Dataset"]["name"] = "giantthr"
+    cfg["NeuralNetwork"]["Training"]["num_epoch"] = 4
+    cfg["NeuralNetwork"]["Training"]["giant_graph"] = {
+        "min_nodes": 12, "graphs_per_view": 2, "batch_size": 4,
+    }
+    cfg.setdefault("Visualization", {})["create_plots"] = False
+    from hydragnn_tpu.api import run_training
+
+    info = run_training(cfg)
+    losses = [h["train"] for h in info["history"]]
+    assert len(losses) == 4 and np.all(np.isfinite(losses))
