@@ -179,7 +179,10 @@ def segment_sum_pallas_raw(
                 dma(b, b % 2).wait()
                 sid = sid_ref[0, pl.ds(b, 1), :]  # [1, TE]; -1 matches no row
                 row_ids = jax.lax.broadcasted_iota(jnp.int32, (TN, TE), 0)
-                onehot = (row_ids == sid).astype(jnp.float32)
+                # bf16 operands -> full-rate MXU passes with fp32
+                # accumulation (fp32xfp32 dots run at a fraction of MXU
+                # rate and dominated the kernel: 4.8 -> 1.x ms at [E, 256])
+                onehot = (row_ids == sid).astype(jnp.bfloat16)
 
                 def dot(a, x):
                     return jax.lax.dot_general(
@@ -191,14 +194,13 @@ def segment_sum_pallas_raw(
 
                 x = xs[b % 2]
                 if x.dtype == jnp.bfloat16:
-                    return acc + dot(onehot, x.astype(jnp.float32))
+                    return acc + dot(onehot, x)
                 # near-fp32 sum in 2 bf16 MXU passes: one-hot entries are
                 # exact in bf16; splitting the data into bf16 hi + lo halves
-                # recovers ~2x the bf16 mantissa (~2^-18 relative error --
-                # lo is itself rounded to bf16; HIGHEST would need 6 passes)
+                # recovers ~2x the bf16 mantissa (~2^-18 relative error)
                 xf = x.astype(jnp.float32)
-                hi = xf.astype(jnp.bfloat16).astype(jnp.float32)
-                lo = xf - hi
+                hi = xf.astype(jnp.bfloat16)
+                lo = (xf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
                 return acc + dot(onehot, hi) + dot(onehot, lo)
 
             acc = jax.lax.fori_loop(
@@ -293,8 +295,10 @@ def segment_minmax_pallas_raw(
             dma(0, 0).start()
 
             def dot(a, v):
+                # bf16 MXU passes with fp32 accumulation; every operand
+                # fed here is bf16-exact (one-hots, split parts, flags)
                 return jax.lax.dot_general(
-                    a, v,
+                    a.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -306,7 +310,7 @@ def segment_minmax_pallas_raw(
                 hi = vals.astype(jnp.bfloat16).astype(jnp.float32)
                 rem = vals - hi
                 mid = rem.astype(jnp.bfloat16).astype(jnp.float32)
-                lo = rem - mid
+                lo = rem - mid  # <= 8 significant bits left: bf16-exact
                 return dot(onehot, hi) + dot(onehot, mid) + dot(onehot, lo)
 
             def body(b, accs):
@@ -325,10 +329,10 @@ def segment_minmax_pallas_raw(
                 # one-hot over its node axis against (row index + 1)
                 rows1 = (
                     jax.lax.broadcasted_iota(jnp.int32, (TN, 1), 0) + 1
-                ).astype(jnp.float32)
+                ).astype(jnp.bfloat16)  # values <= TN+1: bf16-exact
                 sid_col = (
                     jax.lax.dot_general(
-                        onehot, rows1,
+                        onehot.astype(jnp.bfloat16), rows1,
                         dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )

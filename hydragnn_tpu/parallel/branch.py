@@ -144,3 +144,139 @@ def make_branch_dp_train_step(model, tx, mesh: Mesh, mlip=None):
         check_vma=False,
     )
     return jax.jit(smapped)
+
+
+# ---------------------------------------------------------------------------
+# non-uniform branch allocation (VERDICT r02 item 8)
+# ---------------------------------------------------------------------------
+
+
+def proportional_process_list(ndata_list, world: int):
+    """Device counts per branch proportional to dataset sizes — the
+    reference's allocation math re-derived (``examples/multibranch/
+    train.py:191-196``): ceil(n_b / total * world), then subtract the
+    rounding surplus from the largest entry."""
+    nd = np.asarray(ndata_list, np.float32)
+    out = np.ceil(nd / nd.sum() * world).astype(np.int64)
+    imax = int(np.argmax(out))
+    out[imax] -= int(out.sum()) - world
+    assert out.sum() == world and (out > 0).all(), out
+    return out.tolist()
+
+
+def make_flat_branch_mesh(world: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()[:world]
+    return Mesh(
+        mesh_utils.create_device_mesh((world,), devices=devices), ("dev",)
+    )
+
+
+def device_colors(process_list) -> np.ndarray:
+    """Flat device -> branch id map (the reference's ``colorlist``,
+    train.py:260-268): branch b owns the next process_list[b] devices."""
+    return np.concatenate(
+        [np.full(n, b, np.int32) for b, n in enumerate(process_list)]
+    )
+
+
+def rescale_decoder_grads_nonuniform(grads, branch_names, process_list):
+    """Per-branch group means from a whole-mesh pmean: branch b's decoder
+    grads are nonzero on its n_b devices only, so scale by world/n_b
+    (the reference's per-subgroup allreduce, train.py:270-282)."""
+    import re
+
+    world = int(sum(process_list))
+    scale = {
+        bname: world / float(n)
+        for bname, n in zip(branch_names, process_list)
+    }
+    from jax.tree_util import tree_map_with_path
+
+    def branch_of(name):
+        for bname in branch_names:
+            e = re.escape(bname)
+            if re.fullmatch(rf"graph_shared_{e}", name) or re.fullmatch(
+                rf"head_\d+_{e}(_.*)?", name
+            ):
+                return bname
+        return None
+
+    def f(path, g):
+        name = getattr(path[0], "key", None)
+        if isinstance(name, str) and is_decoder_param(name):
+            b = branch_of(name)
+            if b is not None:
+                return g * scale[b]
+        return g
+
+    return tree_map_with_path(f, grads)
+
+
+def make_nonuniform_branch_step(
+    model, tx, mesh: Mesh, process_list, mlip=None
+):
+    """Branch-parallel train step with dataset-size-proportional device
+    groups over a FLAT mesh (list-of-device-lists semantics): device i
+    belongs to branch ``device_colors(process_list)[i]`` and feeds batches
+    from that branch's loader.  Encoder grads reduce over the whole mesh;
+    branch b's decoder grads reduce over its n_b devices only — identical
+    semantics to the reference's non-uniform ``dist.new_group`` path
+    (train.py:260-286) without process groups."""
+    from jax import shard_map
+
+    branch_names = [
+        name
+        for name, _ in (model.cfg.graph_branches or model.cfg.node_branches)
+    ]
+    assert len(branch_names) == len(process_list)
+
+    def per_device(state: TrainState, batch: GraphBatch):
+        batch = jax.tree.map(lambda x: x[0], batch)
+        rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("dev"))
+
+        def loss_fn(params):
+            if mlip is not None:
+                from hydragnn_tpu.models.mlip import energy_force_loss
+
+                tot, tasks, new_bs, _, _ = energy_force_loss(
+                    model, params, state.batch_stats, batch, mlip,
+                    train=True, rng=rng,
+                )
+                return tot, (tasks, new_bs)
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, train=True, mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            tot, tasks = model.loss(out, batch)
+            return tot, (tasks, mutated["batch_stats"])
+
+        (loss, (tasks, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        grads = jax.lax.pmean(grads, "dev")
+        grads = rescale_decoder_grads_nonuniform(
+            grads, branch_names, process_list
+        )
+        loss = jax.lax.pmean(loss, "dev")
+        tasks = jax.lax.pmean(jnp.stack(tasks), "dev")
+        new_bs = jax.lax.pmean(new_bs, "dev")
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        return (
+            TrainState(
+                params=new_params, batch_stats=new_bs,
+                opt_state=new_opt, step=state.step + 1,
+            ),
+            loss, tasks,
+        )
+
+    smapped = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P("dev")),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(smapped)

@@ -218,6 +218,37 @@ def main():
             json.dump(results, f, indent=1)
     n_pass = sum(1 for r in results.values() if r.get("pass"))
     print(f"[matrix] done: {n_pass}/{len(results)} pass -> {out_path}")
+    if out_path == "validation_matrix.json":
+        write_markdown_table(results)
+
+
+def write_markdown_table(results, md_path="VALIDATION.md"):
+    """Regenerate the VALIDATION.md matrix table from the json so prose and
+    artifact can never drift (VERDICT r02 weak #5): the table lives between
+    the AUTOGEN markers and is rewritten on every full-matrix run."""
+    rows = ["| Model  | test MSE | test MAE | lr | reference RMSE threshold | pass |",
+            "|--------|---------:|---------:|----|-------------------------:|------|"]
+    for m, r in results.items():
+        if "error" in r:
+            rows.append(f"| {m} | error | — | — | — | no |")
+            continue
+        rows.append(
+            f"| {m} | {r['mse']:.5f} | {r['mae']:.3f} | {r.get('lr', '')} "
+            f"| {r.get('threshold_rmse', '')} | "
+            f"{'yes' if r.get('pass') else 'NO'} |"
+        )
+    block = "\n".join(rows)
+    begin, end = "<!-- AUTOGEN:matrix -->", "<!-- /AUTOGEN:matrix -->"
+    if not os.path.exists(md_path):
+        return
+    text = open(md_path).read()
+    if begin in text and end in text:
+        head, rest = text.split(begin, 1)
+        _, tail = rest.split(end, 1)
+        text = head + begin + "\n" + block + "\n" + end + tail
+        with open(md_path, "w") as f:
+            f.write(text)
+        print(f"[matrix] {md_path} table regenerated from json")
 
 
 if __name__ == "__main__":
