@@ -120,6 +120,21 @@ def _gather_rows_noperm(x, idx, off, nb, sid, edge_mask, n_node, meta):
     return linear_call(fwd, trans, (idx, off, nb, sid, edge_mask), x)
 
 
+
+
+def _pad_cols(x):
+    """Pad the feature dim up to a multiple of 128 (lane tile).  XLA's
+    serial scatter on narrow tensors costs ~10x more than running the
+    Pallas kernels on the padded width (a 1-column scatter-add measured
+    2.6 ms vs 0.2 ms padded at E=262k on v5e) — first conv layers of
+    1-feature inputs hit exactly this."""
+    cols = x.shape[-1]
+    pad = (-cols) % 128
+    if pad == 0:
+        return x, cols
+    return jnp.pad(x, ((0, 0), (0, pad))), cols
+
+
 def gather_nodes(graph: GraphBatch, x: jnp.ndarray, at: str = "senders"):
     """x[senders or receivers] whose BACKWARD (a scatter-add in plain XLA)
     runs through the sorted Pallas segment-sum kernel."""
@@ -128,24 +143,23 @@ def gather_nodes(graph: GraphBatch, x: jnp.ndarray, at: str = "senders"):
     use_pallas = (
         graph.agg_meta is not None
         and x.ndim == 2
-        and x.shape[-1] % 128 == 0
         and jnp.issubdtype(x.dtype, jnp.floating)
         and jax.default_backend() == "tpu"
     )
     if not use_pallas:
         return x[idx]
+    xp, cols = _pad_cols(x)
     if at == "senders":
         if graph.agg_snd_off is None:
             return x[idx]
-        perm, off, nb, sid = (
-            graph.agg_snd_perm,
-            graph.agg_snd_off,
-            graph.agg_snd_nb,
-            graph.agg_snd_sid,
+        out = _gather_rows(
+            xp, idx, graph.agg_snd_perm, graph.agg_snd_off,
+            graph.agg_snd_nb, graph.agg_snd_sid,
+            graph.edge_mask, graph.n_node, graph.agg_meta,
         )
     else:
-        return _gather_rows_noperm(
-            x,
+        out = _gather_rows_noperm(
+            xp,
             idx,
             graph.agg_rcv_off,
             graph.agg_rcv_nb,
@@ -154,9 +168,7 @@ def gather_nodes(graph: GraphBatch, x: jnp.ndarray, at: str = "senders"):
             graph.n_node,
             graph.agg_meta,
         )
-    return _gather_rows(
-        x, idx, perm, off, nb, sid, graph.edge_mask, graph.n_node, graph.agg_meta
-    )
+    return out[:, :cols] if cols != out.shape[-1] else out
 
 
 def segment_minmax(graph: GraphBatch, data: jnp.ndarray):
@@ -178,7 +190,6 @@ def segment_minmax(graph: GraphBatch, data: jnp.ndarray):
     use_pallas = (
         graph.agg_meta is not None
         and data.ndim == 2
-        and data.shape[-1] % 128 == 0
         and jnp.issubdtype(data.dtype, jnp.floating)
         and jax.default_backend() == "tpu"
     )
@@ -190,6 +201,7 @@ def segment_minmax(graph: GraphBatch, data: jnp.ndarray):
             segment_min(data, graph.receivers, graph.n_node, **kw),
             segment_max(data, graph.receivers, graph.n_node, **kw),
         )
+    data, _mm_cols = _pad_cols(data)
 
     def _seg2(edge_vals):
         """One fused Pallas sum over feature-concatenated halves."""
@@ -240,7 +252,10 @@ def segment_minmax(graph: GraphBatch, data: jnp.ndarray):
         t_mn, t_mx = jnp.split(tboth, 2, axis=-1)
         return (mn, mx), (t_mn, t_mx)
 
-    return _mm(data)
+    mn, mx = _mm(data)
+    if _mm_cols != data.shape[-1]:
+        mn, mx = mn[:, :_mm_cols], mx[:, :_mm_cols]
+    return mn, mx
 
 
 def segment_extreme(graph: GraphBatch, data: jnp.ndarray, op: str = "max"):
@@ -262,15 +277,15 @@ def aggregate(
     use_pallas = (
         graph.agg_meta is not None
         and data.ndim == 2
-        and data.shape[-1] % 128 == 0
         and jnp.issubdtype(data.dtype, jnp.floating)
         and op in ("sum", "mean")
         and jax.default_backend() == "tpu"
     )
     if use_pallas:
+        data_p, cols = _pad_cols(data)
         if at == "receivers":
             s = _pallas_segsum(
-                data,
+                data_p,
                 graph.agg_rcv_off,
                 graph.agg_rcv_nb,
                 graph.agg_rcv_sid,
@@ -281,7 +296,7 @@ def aggregate(
             )
         elif graph.agg_snd_off is not None:
             s = _pallas_segsum_perm(
-                data,
+                data_p,
                 graph.agg_snd_perm,
                 graph.agg_snd_off,
                 graph.agg_snd_nb,
@@ -294,6 +309,8 @@ def aggregate(
         else:
             s = None
         if s is not None:
+            if cols != s.shape[-1]:
+                s = s[:, :cols]
             if op == "mean":
                 cnt = graph.rcv_count if at == "receivers" else graph.snd_count
                 s = s / jnp.maximum(cnt, 1.0).astype(s.dtype)[:, None]
