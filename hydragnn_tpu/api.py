@@ -745,6 +745,12 @@ def run_prediction(config_or_path, use_deepspeed: bool = False):
         viz.create_parity_plot(true_cat, pred_cat)
         viz.create_error_histograms(true_cat, pred_cat)
         viz.create_scatter_plots(true_cat, pred_cat)
+        viz.create_global_analysis(true_cat, pred_cat)
+        viz.create_parity_plot_vector(
+            true_cat, pred_cat,
+            [np.asarray(t).reshape(np.asarray(t).shape[0], -1).shape[-1]
+             for t in true_cat],
+        )
 
     # per-head true/pred dump for offline analysis (reference
     # HYDRAGNN_DUMP_TESTDATA, train_validate_test.py:908-963)

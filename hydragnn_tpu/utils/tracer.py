@@ -142,3 +142,107 @@ def profile_window(log_dir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+# ---------------------------------------------------------------------------
+# energy tracing (the reference's NVML / ROCm-SMI / Intel-XPU energy CSV
+# tracers, ``tracer.py:111-358``)
+# ---------------------------------------------------------------------------
+
+
+def _rapl_counters():
+    """Host package-energy counters via Linux powercap (intel-rapl).
+
+    Returns a list of energy_uj file paths, or [] when the platform does
+    not expose powercap (containers without /sys/class/powercap, and TPU
+    VMs hiding it) — the auto-detected backend then reports unavailable."""
+    import glob
+
+    return sorted(
+        glob.glob("/sys/class/powercap/intel-rapl:*/energy_uj")
+    )
+
+
+class EnergyTracer:
+    """Per-region energy accounting with pluggable counters.
+
+    The reference samples a device energy counter at region start/stop and
+    writes per-rank CSVs (NVML ``tracer.py:111-184``, ROCm :186-282, XPU
+    :284-358).  TPUs expose no public per-chip energy API from inside a VM
+    — the documented integration point is ``counter_fn``: any callable
+    returning cumulative Joules (a fleet power-telemetry scrape, a PDU
+    reading, or the host RAPL backend below).  Backends:
+
+      * ``rapl`` — host CPU package energy from Linux powercap (functional
+        wherever /sys/class/powercap exists; the right measure for the
+        host-side share of data loading);
+      * ``callback`` — user-supplied cumulative-Joules callable;
+      * auto-detect: rapl when available, else disabled (regions record
+        zero and ``available`` is False).
+    """
+
+    def __init__(self, counter_fn=None):
+        self._files = []
+        if counter_fn is not None:
+            self._read = counter_fn
+            self.backend = "callback"
+        else:
+            self._files = _rapl_counters()
+            self._read = self._read_rapl if self._files else None
+            self.backend = "rapl" if self._files else "none"
+        self.available = self._read is not None
+        self._starts: Dict[str, float] = {}
+        self.energy_j: Dict[str, float] = defaultdict(float)
+        self.counts: Dict[str, int] = defaultdict(int)
+
+    def _read_rapl(self) -> float:
+        total = 0.0
+        for p in self._files:
+            try:
+                with open(p) as f:
+                    total += int(f.read().strip()) / 1e6
+            except OSError:
+                pass
+        return total
+
+    def start(self, name: str):
+        if self.available:
+            self._starts[name] = self._read()
+
+    def stop(self, name: str):
+        if self.available and name in self._starts:
+            d = self._read() - self._starts.pop(name)
+            if d >= 0:  # counters wrap; drop the wrapped interval
+                self.energy_j[name] += d
+                self.counts[name] += 1
+
+    @contextlib.contextmanager
+    def region(self, name: str):
+        self.start(name)
+        try:
+            yield
+        finally:
+            self.stop(name)
+
+    def save(self, directory: str, prefix: str = "energy"):
+        """Per-rank CSV, mirroring the reference's ``tr.save`` layout."""
+        os.makedirs(directory, exist_ok=True)
+        try:
+            import jax
+
+            rank = jax.process_index()
+        except Exception:
+            rank = 0
+        path = os.path.join(directory, f"{prefix}_rank{rank}.csv")
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["region", "count", "energy_j", "backend"])
+            for name in self.energy_j:
+                w.writerow(
+                    [name, self.counts[name], self.energy_j[name],
+                     self.backend]
+                )
+        return path
+
+
+energy_tracer = EnergyTracer()

@@ -91,3 +91,57 @@ def test_example_giant_graph_smoke(tmp_path, monkeypatch):
         monkeypatch,
     )
     assert np.isfinite(float(out))
+
+
+# ---------------------------------------------------------------------------
+# full example-dir coverage (VERDICT r02 item 9): every committed driver
+# runs end to end at tiny scale.  These live behind the ``slow`` marker —
+# default CI runs `-m "not slow"`, the cron runs everything.
+# ---------------------------------------------------------------------------
+
+_SLOW_DRIVERS = [
+    ("examples/LennardJones/LennardJones.py",
+     ["--num_epoch", "2", "--num_samples", "24"]),
+    ("examples/lsms/lsms.py", ["--num_epoch", "2", "--num_samples", "24"]),
+    ("examples/unit_lattice/unit_lattice.py", []),
+    ("examples/zinc/zinc.py", ["--num_epoch", "2", "--num_samples", "48"]),
+    ("examples/ogb/train_gap.py",
+     ["--num_epoch", "2", "--num_samples", "48"]),
+    ("examples/qm9_hpo/qm9_hpo.py",
+     ["--trials", "1", "--num_epoch", "1", "--num_samples", "40"]),
+    ("examples/multidataset/train.py", ["--epochs", "1", "--frames", "24"]),
+    ("examples/multibranch/train.py", []),
+    ("examples/alexandria/train.py",
+     ["--energy", "--num_epoch", "1", "--num_samples", "24"]),
+    ("examples/mptrj/train.py",
+     ["--energy", "--num_epoch", "1", "--num_samples", "24"]),
+    ("examples/qm7x/train.py",
+     ["--energy", "--num_epoch", "1", "--num_samples", "24"]),
+    ("examples/qcml/train.py",
+     ["--energy", "--num_epoch", "1", "--num_samples", "24"]),
+    ("examples/transition1x/train.py",
+     ["--energy", "--num_epoch", "1", "--num_samples", "24"]),
+    ("examples/open_catalyst_2020/oc20.py",
+     ["--num_epoch", "1", "--num_samples", "24"]),
+    ("examples/open_catalyst_2022/train.py",
+     ["--energy", "--num_epoch", "1", "--num_samples", "24"]),
+    ("examples/open_catalyst_2025/train.py",
+     ["--energy", "--num_epoch", "1", "--num_samples", "24"]),
+    ("examples/open_materials_2024/train.py",
+     ["--energy", "--num_epoch", "1", "--num_samples", "24"]),
+    ("examples/open_molecules_2025/train.py",
+     ["--energy", "--num_epoch", "1", "--num_samples", "24"]),
+    ("examples/open_direct_air_capture_2023/train.py",
+     ["--energy", "--num_epoch", "1", "--num_samples", "24"]),
+    ("examples/open_polymers_2026/train.py",
+     ["--energy", "--num_epoch", "1", "--num_samples", "24"]),
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("rel,argv", _SLOW_DRIVERS,
+                         ids=[r.split("/")[1] for r, _ in _SLOW_DRIVERS])
+def test_all_example_drivers_slow(rel, argv, tmp_path, monkeypatch):
+    out = _run(rel, argv, tmp_path, monkeypatch)
+    if isinstance(out, dict) and "history" in out:
+        assert np.isfinite(out["history"][-1]["train"])
