@@ -10,6 +10,9 @@ anyway — scaling here measures the sharded program structure, not ICI).
 
 import json
 import os
+import socket
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -125,5 +128,118 @@ def main(device_counts=(1, 2, 4, 8), steps=8):
     return results
 
 
+def _bench_cfg():
+    from hydragnn_tpu.models.base import StackConfig, normalize_branches
+
+    hidden = 64
+    heads = {
+        "num_sharedlayers": 1,
+        "dim_sharedlayers": hidden,
+        "num_headlayers": 1,
+        "dim_headlayers": [hidden],
+    }
+    return StackConfig(
+        input_dim=1,
+        hidden_dim=hidden,
+        output_dim=(1,),
+        output_type=("graph",),
+        graph_branches=normalize_branches(heads),
+        task_weights=(1.0,),
+        num_conv_layers=4,
+    )
+
+
+def _worker(pid, nproc, coord, steps=8):
+    """2-process leg: each process drives 4 CPU devices of one 8-device
+    mesh with REAL process boundaries (jax.distributed) — the throughput
+    analogue of the lockstep mpirun -n 2 CI leg (VERDICT r02 item 3)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 4)
+    from hydragnn_tpu.parallel.runtime import setup_distributed
+
+    setup_distributed(coordinator_address=coord, num_processes=nproc,
+                      process_id=pid)
+    from bench import build_bench_batch
+    from hydragnn_tpu.models.create import create_model
+    from hydragnn_tpu.parallel.dp import (
+        make_dp_train_step,
+        make_mesh,
+        put_replicated,
+        shard_stacked_batch,
+        stack_batches,
+    )
+    from hydragnn_tpu.train.loop import Trainer
+
+    model = create_model("GIN", _bench_cfg())
+    trainer = Trainer(model, {"type": "AdamW", "learning_rate": 1e-3})
+    batch = build_bench_batch(n_graphs=8, nodes_per_graph=128, avg_degree=16)
+    edges_per_device = int(np.asarray(batch.edge_mask).sum())
+    mesh = make_mesh(8)
+    step = make_dp_train_step(model, trainer.tx, mesh)
+    state = put_replicated(trainer.init_state(batch), mesh)
+    stacked = shard_stacked_batch(stack_batches([batch] * 4), mesh)
+    state, loss, _ = step(state, stacked)
+    _ = float(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, loss, _ = step(state, stacked)
+    _ = float(loss)
+    dt = (time.perf_counter() - t0) / steps
+    if pid == 0:
+        print(json.dumps(
+            {"two_process_edges_per_s": round(edges_per_device * 8 / dt, 1)}
+        ))
+    jax.distributed.shutdown()
+
+
+def two_process_point():
+    s_ = socket.socket(); s_.bind(("127.0.0.1", 0))
+    port = s_.getsockname()[1]; s_.close()
+    env = dict(os.environ)
+    for k in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME"):
+        env.pop(k, None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(p),
+             "2", f"localhost:{port}"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for p in range(2)
+    ]
+    out0 = procs[0].communicate(timeout=900)[0].decode()
+    procs[1].communicate(timeout=900)
+    for line in out0.splitlines():
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no result from 2-process leg:\n{out0[-2000:]}")
+
+
 if __name__ == "__main__":
-    main()
+    if "--worker" in sys.argv:
+        i = sys.argv.index("--worker")
+        _worker(int(sys.argv[i + 1]), int(sys.argv[i + 2]), sys.argv[i + 3])
+    else:
+        results = main()
+        tp = two_process_point()
+        print(json.dumps(tp))
+        out = {
+            "devices": {str(k): v for k, v in results.items()},
+            "weak_scaling_efficiency": {
+                str(k): round(v / (results[1] * k), 4)
+                for k, v in results.items()
+            },
+            "two_process": dict(
+                tp,
+                note="2 real jax.distributed processes x 4 CPU devices, "
+                "same 8-device mesh/program as the single-process point",
+                efficiency_vs_1proc_8dev=round(
+                    tp["two_process_edges_per_s"] / results[max(results)], 4
+                ) if results else None,
+            ),
+            "halo_comm": halo_comm_report(),
+        }
+        with open("SCALING_r03.json", "w") as f:
+            json.dump(out, f, indent=1)
+        print("written SCALING_r03.json")
