@@ -441,7 +441,7 @@ def _resolve_data_mesh(config: Dict):
 _HALO_SENDER_AGG = {"EGNN", "PAINN", "PNAEq"}
 _HALO_SUPPORTED = {
     "GIN", "PNA", "PNAPlus", "GAT", "SAGE", "MFC", "CGCNN", "SchNet",
-    "EGNN", "PAINN", "PNAEq", "MACE",
+    "EGNN", "PAINN", "PNAEq", "MACE", "DimeNet",
 }
 
 
@@ -473,8 +473,7 @@ def _run_training_giant(config, log_dir, precision):
     training = config["NeuralNetwork"]["Training"]
     mpnn = arch["mpnn_type"]
     assert mpnn in _HALO_SUPPORTED, (
-        f"giant_graph mode supports {sorted(_HALO_SUPPORTED)}, not {mpnn} "
-        "(DimeNet triplets index global edges)"
+        f"giant_graph mode supports {sorted(_HALO_SUPPORTED)}, not {mpnn}"
     )
     gg = training.get("giant_graph")
     train, val, test = _build_datasets(config)
@@ -497,11 +496,19 @@ def _run_training_giant(config, log_dir, precision):
 
     S = jax.local_device_count()
     agg_at = "senders" if mpnn in _HALO_SENDER_AGG else "receivers"
+    with_trip = mpnn == "DimeNet"
+    if with_trip:
+        from hydragnn_tpu.data.batching import build_triplets
+
+        for g in giants:
+            if g.trip_kj is None:
+                g.trip_kj, g.trip_ji = build_triplets(g.edge_index)
     views = []
     full0 = None
     for i in range(0, len(giants), per_view):
         view, plan, full = build_stack_halo_view(
-            giants[i : i + per_view], S, aggregate_at=agg_at
+            giants[i : i + per_view], S, aggregate_at=agg_at,
+            with_triplets=with_trip,
         )
         views.append(view)
         if full0 is None:

@@ -360,7 +360,8 @@ def make_halo_train_fns(
 
 
 def build_stack_halo_view(
-    sample, n_shards: int, align: int = 8, aggregate_at: str = "receivers"
+    sample, n_shards: int, align: int = 8, aggregate_at: str = "receivers",
+    with_triplets: bool = False,
 ):
     """Partition one GraphSample — or a LIST of samples (a batch of
     giants, VERDICT r02 item 5a) — into a stacked [S, ...] GraphBatch of
@@ -393,11 +394,18 @@ def build_stack_halo_view(
     samples = sample if isinstance(sample, (list, tuple)) else [sample]
     K = len(samples)
     sort_edges_by_receiver(samples)
+    n_trip = None
+    if with_triplets:
+        assert aggregate_at == "receivers"
+        n_trip = _round_up(
+            max(sum(t.num_triplets for t in samples), 1), align
+        )
     batch = collate(
         samples,
         _round_up(sum(t.num_nodes for t in samples) + 1, S * align),
         _round_up(max(sum(t.num_edges for t in samples), 1), align),
         K + 1,
+        n_triplet=n_trip,
     )
     batch = pad_to_multiple(batch, S)
     plan_batch = batch
@@ -407,6 +415,51 @@ def build_stack_halo_view(
         plan_batch = batch.replace(
             senders=batch.receivers, receivers=batch.senders
         )
+    E_orig = int(np.asarray(batch.senders).shape[0])
+    ghost_kj = None
+    if with_triplets:
+        # DimeNet on the halo view (VERDICT r02 item 5b): a triplet
+        # (kj -> ji) owned by shard(i) needs edge kj's per-layer state,
+        # which is a pure function of node features at (k, j) + rbf(kj) —
+        # so shard(i) can COMPUTE a bitwise-identical GHOST COPY of kj
+        # locally, provided k and j are in its node space.  j is ji's
+        # sender (already in the halo); k joins it via ghost planner edges
+        # (k -> i) appended before planning.  The ghost slots' receivers
+        # are then repointed at j so geometry/rbf are kj's own; their
+        # aggregation contributions land on HALO node rows, which the
+        # per-layer refresh overwrites and every mask ignores.
+        snd0 = np.asarray(batch.senders, np.int64)
+        rcv0 = np.asarray(batch.receivers, np.int64)
+        em0 = np.asarray(batch.edge_mask, bool)
+        Nn = int(np.asarray(batch.node_mask).shape[0])
+        blk = Nn // S
+        tk = np.asarray(batch.trip_kj, np.int64)
+        tj = np.asarray(batch.trip_ji, np.int64)
+        tm = np.asarray(batch.trip_mask, bool)
+        e_own0 = rcv0 // blk
+        # unique (shard, remote kj) pairs -> one ghost edge each
+        ghost_kj = {}
+        g_snd, g_rcv = [], []
+        for a in np.where(tm)[0]:
+            kj, ji = int(tk[a]), int(tj[a])
+            s_ = int(e_own0[ji])
+            if int(e_own0[kj]) != s_ and (s_, kj) not in ghost_kj:
+                ghost_kj[(s_, kj)] = E_orig + len(g_snd)
+                g_snd.append(int(snd0[kj]))
+                g_rcv.append(int(rcv0[ji]))  # any i local to s_
+        if g_snd:
+            plan_batch = plan_batch.replace(
+                senders=np.concatenate(
+                    [np.asarray(plan_batch.senders, np.int64), g_snd]
+                ).astype(np.int32),
+                receivers=np.concatenate(
+                    [np.asarray(plan_batch.receivers, np.int64), g_rcv]
+                ).astype(np.int32),
+                edge_mask=np.concatenate(
+                    [np.asarray(plan_batch.edge_mask, bool),
+                     np.ones(len(g_snd), bool)]
+                ),
+            )
     plan = build_halo_plan(plan_batch, S, align=align)
     h, block = plan.h, plan.block
     N = S * block
@@ -460,11 +513,74 @@ def build_stack_halo_view(
     emask_sh = np.concatenate([plan.loc_mask, plan.halo_mask], axis=1)
     # original edge ids -> per-shard edge_attr / shifts if present
     eid_sh = np.concatenate([plan.loc_eid, plan.halo_eid], axis=1)
+    trip_fields = {}
+    if ghost_kj is not None:
+        # ghost eids represent their remote kj edge for attrs/geometry
+        ghost_of = {v: kj for (s_, kj), v in ghost_kj.items()}
+        attr_eid = np.vectorize(lambda e: ghost_of.get(int(e), int(e)))(
+            eid_sh
+        ).astype(np.int64)
+        # repoint ghost receivers at j (kj's receiver) in s-space and build
+        # per-shard triplet slot arrays
+        snd0 = np.asarray(batch.senders, np.int64)
+        rcv0 = np.asarray(batch.receivers, np.int64)
+        Nn = np.asarray(batch.node_mask).shape[0]
+        blk = Nn // S
+        node_lut = []
+        for s_ in range(S):
+            lut = {}
+            for slot, gid in enumerate(ext_ids[s_]):
+                lut.setdefault(int(gid), block + slot)
+            node_lut.append(lut)
+
+        def node_idx(s_, g):
+            g = int(g)
+            if g // blk == s_:
+                return g - s_ * blk
+            return node_lut[s_][g]
+
+        slot_lut = [dict() for _ in range(S)]
+        for s_ in range(S):
+            for slot in range(eid_sh.shape[1]):
+                if emask_sh[s_, slot]:
+                    slot_lut[s_][int(eid_sh[s_, slot])] = slot
+        for (s_, kj), geid in ghost_kj.items():
+            slot = slot_lut[s_][geid]
+            j = int(rcv0[kj])
+            receivers_sh[s_, slot] = node_idx(s_, j)
+        tk = np.asarray(batch.trip_kj, np.int64)
+        tj = np.asarray(batch.trip_ji, np.int64)
+        tm = np.asarray(batch.trip_mask, bool)
+        e_own0 = rcv0 // blk
+        per_trip = [[] for _ in range(S)]
+        for a in np.where(tm)[0]:
+            kj, ji = int(tk[a]), int(tj[a])
+            s_ = int(e_own0[ji])
+            kj_eid = kj if int(e_own0[kj]) == s_ else ghost_kj[(s_, kj)]
+            per_trip[s_].append(
+                (slot_lut[s_][kj_eid], slot_lut[s_][ji])
+            )
+        T = _round_up(max(max(len(t) for t in per_trip), 1), align)
+        trip_kj_sh = np.zeros((S, T), np.int32)
+        trip_ji_sh = np.zeros((S, T), np.int32)
+        trip_mask_sh = np.zeros((S, T), bool)
+        for s_, rows in enumerate(per_trip):
+            for a, (ks, js) in enumerate(rows):
+                trip_kj_sh[s_, a] = ks
+                trip_ji_sh[s_, a] = js
+                trip_mask_sh[s_, a] = True
+        trip_fields = dict(
+            trip_kj=trip_kj_sh, trip_ji=trip_ji_sh, trip_mask=trip_mask_sh
+        )
+    else:
+        attr_eid = eid_sh
     edge_attr_sh = (
-        np.asarray(batch.edge_attr)[eid_sh] if batch.edge_attr is not None else None
+        np.asarray(batch.edge_attr)[attr_eid]
+        if batch.edge_attr is not None
+        else None
     )
     shifts_sh = (
-        np.asarray(batch.edge_shifts)[eid_sh]
+        np.asarray(batch.edge_shifts)[attr_eid]
         if batch.edge_shifts is not None
         else None
     )
@@ -518,6 +634,7 @@ def build_stack_halo_view(
         halo_send_idx=plan.send_idx.astype(np.int32),
         halo_send_mask=plan.send_mask,
         halo_axis="graph",
+        **trip_fields,
     )
     return view, plan, batch
 
