@@ -344,6 +344,10 @@ def main():
         file=sys.stderr,
         flush=True,
     )
+    # the detail budget starts AFTER the headline: tunnel-compile times vary
+    # by minutes run to run, and a slow PNA compile must not starve the
+    # other configs' rows
+    t_start = time.perf_counter()
 
     def extra(name, fn):
         if time.perf_counter() - t_start > budget:
