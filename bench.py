@@ -77,8 +77,11 @@ def build_bench_batch(
         int(np.bincount(s.edge_index[k]).max()) for s in samples for k in (0, 1)
     )
     mb = int(np.ceil((128 * max_deg + 8) / 512)) + 1
+    from hydragnn_tpu.ops.fused_gather import static_window_width
+
+    W = static_window_width(nodes_per_graph, 128)
     return collate(
-        samples, n_node, n_edge, n_graphs + 1, agg_plan=(128, 512, mb)
+        samples, n_node, n_edge, n_graphs + 1, agg_plan=(128, 512, mb, W)
     )
 
 

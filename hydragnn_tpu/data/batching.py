@@ -67,9 +67,12 @@ def compute_triplet_dim(
     return _round_up(batch_size * max_t + 1, multiple)
 
 
-def _build_agg_plans(senders, receivers, edge_mask, n_node, TN, TE, MB):
+def _build_agg_plans(senders, receivers, edge_mask, n_node, TN, TE, MB, W=None):
     """Pallas aggregation plans (ops/pallas_segment.py) for both edge
-    endpoints; returns GraphBatch field dict."""
+    endpoints; returns GraphBatch field dict.  When ``W`` (static window
+    width) is given, also builds the fused-kernel window plans
+    (ops/fused_gather.py) -- window fields stay None if any tile's span
+    exceeds W, so the models fall back to the unfused path."""
     from hydragnn_tpu.native import plan_segment_tiles_native
     from hydragnn_tpu.ops.pallas_segment import plan_segment_tiles
 
@@ -103,7 +106,7 @@ def _build_agg_plans(senders, receivers, edge_mask, n_node, TN, TE, MB):
     snd_count = np.bincount(
         senders[edge_mask], minlength=n_node
     ).astype(np.float32)
-    return {
+    fields = {
         "agg_rcv_off": rp["block_offsets"],
         "agg_rcv_nb": rp["blocks_per_tile"],
         "agg_rcv_sid": rp["sid_blocks"].reshape(n_tiles, MB, TE),
@@ -115,6 +118,26 @@ def _build_agg_plans(senders, receivers, edge_mask, n_node, TN, TE, MB):
         "snd_count": snd_count,
         "agg_meta": (TN, TE, MB, required),
     }
+    if W is not None and W <= n_node:
+        from hydragnn_tpu.ops.fused_gather import plan_windows
+
+        # rcv plan: the "other" endpoint is the sender (batch edge order);
+        # snd plan: the receiver, in sender-sorted order
+        rw = plan_windows(
+            senders, rp["block_offsets"], rp["sid_blocks"], n_node, W
+        )
+        sw = plan_windows(
+            receivers[perm], sp["block_offsets"], sp["sid_blocks"], n_node, W
+        )
+        if rw is not None and sw is not None:
+            fields.update(
+                agg_rcv_lot=rw["lot"],
+                agg_rcv_win=rw["win_start"],
+                agg_snd_lot=sw["lot"],
+                agg_snd_win=sw["win_start"],
+                agg_meta=(TN, TE, MB, required, W),
+            )
+    return fields
 
 
 def collate(
@@ -327,7 +350,15 @@ class PaddedBatcher:
                     d2 = np.bincount(s.edge_index[0]).max()
                     max_deg = max(max_deg, int(d), int(d2))
             mb = int(np.ceil((tile_nodes * max_deg + 8) / tile_edges)) + 1
-            self.agg_plan = (tile_nodes, tile_edges, mb)
+            # static fused-kernel window width: valid for every batch of
+            # this dataset (ops/fused_gather.py); None -> unfused path
+            from hydragnn_tpu.ops.fused_gather import static_window_width
+
+            max_g = max(s.num_nodes for s in self.samples)
+            W = static_window_width(max_g, tile_nodes)
+            if W is not None and W > n_node:
+                W = None
+            self.agg_plan = (tile_nodes, tile_edges, mb, W)
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch

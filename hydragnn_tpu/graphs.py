@@ -90,6 +90,12 @@ class GraphBatch:
     agg_snd_off: Optional[jnp.ndarray] = None
     agg_snd_nb: Optional[jnp.ndarray] = None
     agg_snd_sid: Optional[jnp.ndarray] = None
+    # fused gather->combine->reduce window plans (ops/fused_gather.py):
+    # per-tile node window start + window-local ids of the OTHER endpoint
+    agg_rcv_lot: Optional[jnp.ndarray] = None  # [T, MB, TE] int32
+    agg_rcv_win: Optional[jnp.ndarray] = None  # [T] int32
+    agg_snd_lot: Optional[jnp.ndarray] = None  # [T, MB, TE] int32
+    agg_snd_win: Optional[jnp.ndarray] = None  # [T] int32
     rcv_count: Optional[jnp.ndarray] = None  # [N] real in-degree (float32)
     snd_count: Optional[jnp.ndarray] = None  # [N] real out-degree (float32)
     # (tile_nodes, tile_edges, max_blocks) -- static so jit sees constants

@@ -18,7 +18,7 @@ from flax import linen as nn
 from hydragnn_tpu.graphs import GraphBatch
 from hydragnn_tpu.models.base import MLP, ConvStack
 from hydragnn_tpu.ops import segment_max, segment_mean, segment_sum
-from hydragnn_tpu.ops.aggregate import aggregate, gather_nodes
+from hydragnn_tpu.ops.aggregate import aggregate, gather_nodes, neighbor_reduce
 from hydragnn_tpu.ops.segment import segment_count
 
 
@@ -33,7 +33,7 @@ class GINConv(nn.Module):
     @nn.compact
     def __call__(self, graph: GraphBatch, inv, equiv, ctx, train: bool = False):
         eps = self.param("eps", lambda key: jnp.asarray(100.0, jnp.float32))
-        agg = aggregate(graph, gather_nodes(graph, inv, "senders"), "sum", "receivers")
+        agg = neighbor_reduce(graph, inv, "sum")
         h = (1.0 + eps) * inv + agg
         # PyG GINConv nn = Linear -> ReLU -> Linear (GINStack.py:28-34)
         h = MLP((self.out_dim, self.out_dim), activation="relu")(h)
@@ -57,7 +57,7 @@ class SAGEConv(nn.Module):
 
     @nn.compact
     def __call__(self, graph: GraphBatch, inv, equiv, ctx, train: bool = False):
-        agg = aggregate(graph, gather_nodes(graph, inv, "senders"), "mean", "receivers")
+        agg = neighbor_reduce(graph, inv, "mean")
         out = nn.Dense(self.out_dim, name="lin_l")(agg) + nn.Dense(
             self.out_dim, use_bias=False, name="lin_r"
         )(inv)
@@ -84,7 +84,7 @@ class MFCConv(nn.Module):
     @nn.compact
     def __call__(self, graph: GraphBatch, inv, equiv, ctx, train: bool = False):
         deg = jnp.clip(graph.in_degree(), 0, self.max_degree)  # [N]
-        agg = aggregate(graph, gather_nodes(graph, inv, "senders"), "sum", "receivers")
+        agg = neighbor_reduce(graph, inv, "sum")
         nd = self.max_degree + 1
         # one weight bank per degree: [nd, in, out]
         w_nei = self.param(
@@ -193,23 +193,40 @@ class PNAConv(nn.Module):
         # matmul work and no [E, 3F] intermediate.
         h_i = nn.Dense(self.in_dim, name="pre_nn_i")(inv)  # carries the bias
         h_j = nn.Dense(self.in_dim, use_bias=False, name="pre_nn_j")(inv)
-        h = gather_nodes(graph, h_i, "receivers") + gather_nodes(graph, h_j, "senders")
         ea = ctx.get("edge_attr")
+        e_term = None
         if self.edge_dim is not None and self.edge_dim > 0 and ea is not None:
             e_emb = nn.Dense(self.in_dim, name="edge_encoder")(ea.astype(inv.dtype))
-            h = h + nn.Dense(self.in_dim, use_bias=False, name="pre_nn_e")(e_emb)
+            e_term = nn.Dense(self.in_dim, use_bias=False, name="pre_nn_e")(e_emb)
 
         srt = graph.edges_sorted
-        # mean and E[x^2] (for std) ride the scatter-free pallas path in a
-        # single double-width pass; min/max stay on the XLA scatter path
-        m12 = aggregate(
-            graph, jnp.concatenate([h, h * h], axis=-1), "mean", "receivers"
+        from hydragnn_tpu.ops.fused_gather import (
+            fused_pna_aggregate,
+            has_window_plans,
         )
-        mean1, mean2 = jnp.split(m12, 2, axis=-1)
-        std = jnp.sqrt(jax.nn.relu(mean2 - mean1 * mean1) + 1e-5)
-        from hydragnn_tpu.ops.aggregate import segment_minmax
 
-        mn, mx = segment_minmax(graph, h)  # one HBM pass for both extrema
+        if has_window_plans(graph) and h_i.shape[-1] % 128 == 0:
+            # all four aggregations in ONE fused kernel pass: h never
+            # exists in HBM (ops/fused_gather.py)
+            cnt = jnp.maximum(graph.rcv_count, 1.0).astype(inv.dtype)[:, None]
+            s, s2, mn, mx = fused_pna_aggregate(graph, h_i, h_j, e_term)
+            mean1, mean2 = s / cnt, s2 / cnt
+        else:
+            h = gather_nodes(graph, h_i, "receivers") + gather_nodes(
+                graph, h_j, "senders"
+            )
+            if e_term is not None:
+                h = h + e_term
+            # mean and E[x^2] (for std) ride the scatter-free pallas path
+            # in one double-width pass; min/max in one fused extrema pass
+            m12 = aggregate(
+                graph, jnp.concatenate([h, h * h], axis=-1), "mean", "receivers"
+            )
+            mean1, mean2 = jnp.split(m12, 2, axis=-1)
+            from hydragnn_tpu.ops.aggregate import segment_minmax
+
+            mn, mx = segment_minmax(graph, h)  # one HBM pass, both extrema
+        std = jnp.sqrt(jax.nn.relu(mean2 - mean1 * mean1) + 1e-5)
         aggs = [mean1, mn, mx, std]
         out = jnp.concatenate(aggs, axis=-1)  # [N, 4*in]
 

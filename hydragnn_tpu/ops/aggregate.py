@@ -171,6 +171,29 @@ def gather_nodes(graph: GraphBatch, x: jnp.ndarray, at: str = "senders"):
     return out[:, :cols] if cols != out.shape[-1] else out
 
 
+def neighbor_reduce(graph: GraphBatch, x: jnp.ndarray, op: str = "sum"):
+    """sum/mean of x over in-neighbours: sum_{e: rcv=n} x[snd[e]] -- the
+    GIN/SAGE/MFC message+aggregate.  With window plans this is ONE fused
+    Pallas kernel each way (no [E, F] intermediate in HBM,
+    ops/fused_gather.py); otherwise the gather + segment composition."""
+    from hydragnn_tpu.ops.fused_gather import gather_segsum, has_window_plans
+
+    assert op in ("sum", "mean")
+    if (
+        has_window_plans(graph)
+        and x.ndim == 2
+        and jnp.issubdtype(x.dtype, jnp.floating)
+    ):
+        xp, cols = _pad_cols(x)
+        s = gather_segsum(graph, xp, "senders")
+        if cols != s.shape[-1]:
+            s = s[:, :cols]
+        if op == "mean":
+            s = s / jnp.maximum(graph.rcv_count, 1.0).astype(s.dtype)[:, None]
+        return s
+    return aggregate(graph, gather_nodes(graph, x, "senders"), op, "receivers")
+
+
 def segment_minmax(graph: GraphBatch, data: jnp.ndarray):
     """(min, max) masked segment extrema at receivers in ONE pass over the
     edge data (the op is HBM-bound; PNA needs both), with a scatter-free

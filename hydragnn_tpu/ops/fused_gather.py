@@ -1,0 +1,719 @@
+"""Fused gather -> combine -> segment-reduce Pallas kernel (TPU).
+
+The remaining HBM cost of message passing after ops/pallas_segment.py is
+the EDGE-SPACE INTERMEDIATES: node->edge gathers materialize [E, F]
+tensors that the segment kernels then re-read, and every elementwise op
+between them (h_i + h_j, h*h, tie indicators, cotangent weighting) is
+another [E, F] read+write.  This module removes edge space from HBM
+entirely for messages of the form
+
+    h[e] = combine(tables_win[snd[e]], tables_tile[rcv[e]], edge[e])
+
+followed by segment reductions (sum / min / max) onto the receiver tiles:
+
+  * the reduce-aligned endpoint is gathered with the per-tile one-hot
+    [TN, TE] MXU matmul of ops/pallas_segment.py;
+  * the OTHER endpoint (random within the tile's graphs) is gathered from
+    a per-tile node WINDOW: because samples are packed contiguously
+    (data/batching.py collate) and edges are sorted by the aligned
+    endpoint, both endpoints of every edge in a tile lie in one
+    contiguous node range of bounded width W -- the kernel DMAs that
+    [W, TF] window into VMEM once per tile and gathers rows with a
+    [W, TE] one-hot matmul (the standard TPU vectorized-gather trick);
+  * ``combine`` is an arbitrary traced elementwise function evaluated on
+    [TE, TF] VMEM blocks (the "fused edge MLP" hook), and each requested
+    reduction lands on the [TN, TF] output tile -- sums via one-hot
+    matmuls, extrema via the segmented Hillis-Steele scan of
+    ops/pallas_segment.py.
+
+The TRANSPOSE of "gather at senders -> segment-sum at receivers" is
+"gather at receivers -> segment-sum at senders": the same kernel run on
+the sender-sorted plan with the window covering receivers.  All AD
+wrappers below exploit that symmetry, so backward passes fuse too.
+
+Replaces the reference's gather/scatter message path (PyG propagate +
+torch_scatter, e.g. reference hydragnn/models/PNAStack.py forward) with
+a single kernel; this is the "fused gather -> edge-MLP -> segment"
+kernel named by BASELINE.md's north star.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_BIG = 3.0e38  # finite +/-inf sentinel, safe in fp32 arithmetic
+_VMEM_BUDGET = 10 * 2**20  # leave headroom under the ~16 MB/core VMEM
+
+
+# ---------------------------------------------------------------------------
+# Host-side window planning
+# ---------------------------------------------------------------------------
+
+
+def plan_windows(
+    other: np.ndarray,  # [E] the NON-aligned endpoint, in the plan's edge order
+    plan_off: np.ndarray,  # [T, MB] block offsets (plan_segment_tiles)
+    plan_sid: np.ndarray,  # [T*MB, TE] or [T, MB, TE] local ids (-1 invalid)
+    n_node: int,
+    W: int,  # static window width (multiple of 8), fixed by the batcher
+) -> Optional[dict]:
+    """Per-tile node windows covering the other endpoint of every valid
+    edge, plus window-local ids per (tile, block, row).  Returns None when
+    any tile's endpoint span exceeds ``W`` (caller falls back to the
+    unfused path)."""
+    off = np.asarray(plan_off, np.int64)  # [T, MB]
+    T, MB = off.shape
+    sid = np.asarray(plan_sid).reshape(T, MB, -1)
+    TE = sid.shape[2]
+    if W % 8 != 0 or W > n_node:
+        return None
+    # offsets are unclipped (may run past E by < TE); extend with zeros
+    other_ext = np.concatenate(
+        [np.asarray(other, np.int64), np.zeros(TE, np.int64)]
+    )
+    idx = np.minimum(off[..., None] + np.arange(TE), len(other_ext) - 1)
+    vals = other_ext[idx]  # [T, MB, TE]
+    valid = sid >= 0
+    lo = np.where(valid, vals, np.iinfo(np.int64).max).min(axis=(1, 2))
+    hi = np.where(valid, vals, np.iinfo(np.int64).min).max(axis=(1, 2))
+    has = valid.any(axis=(1, 2))
+    lo = np.where(has, lo, 0)
+    hi = np.where(has, hi, 0)
+    w = (lo // 8) * 8  # Mosaic: sublane slice starts divisible by 8
+    if int(np.max(hi - w + 1, initial=1)) > W:
+        return None
+    # keep the [w, w+W) DMA in bounds; n_node and W are multiples of 8
+    w = np.minimum(w, n_node - W)
+    lot = vals - w[:, None, None]
+    lot = np.where(valid & (lot >= 0) & (lot < W), lot, -1).astype(np.int32)
+    return {"win_start": w.astype(np.int32), "lot": lot}
+
+
+def static_window_width(
+    max_graph_nodes: int, tile_nodes: int = 128, cap: int = 2048
+) -> Optional[int]:
+    """Static W bound valid for every batch of a dataset: a tile's rows
+    span [a, a+TN); the graphs containing them cover at most
+    TN + 2*(max_g - 1) contiguous node rows, +8 for down-alignment of the
+    window start.  None when that exceeds ``cap`` (window gathers cost
+    MXU time linear in W; past ~2k rows the fused path stops paying)."""
+    need = tile_nodes + 2 * max(int(max_graph_nodes) - 1, 0) + 8
+    W = int(-(-need // 128) * 128)
+    return W if W <= cap else None
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+
+def _pick_tf(F, tile_features, n_wt, W, n_es, TE, R, itemsizes):
+    """Largest feature tile dividing F that keeps the kernel's VMEM
+    (window scratch + double-buffered edge streams + output block) under
+    budget."""
+    cands = sorted(
+        {t for t in (tile_features, 512, 256, 128) if F % t == 0},
+        reverse=True,
+    )
+    win_b, es_b = itemsizes
+    for tf in cands:
+        vmem = (n_wt * W * win_b + n_es * 2 * TE * es_b + R * 128 * 4) * tf
+        if vmem <= _VMEM_BUDGET:
+            return tf
+    return cands[-1] if cands else None
+
+
+def window_gather_reduce_raw(
+    tables_win: Sequence[jnp.ndarray],  # each [N, F], gathered at window ids
+    tables_tile: Sequence[jnp.ndarray],  # each [N, F], gathered at tile ids
+    edge_streams: Sequence[jnp.ndarray],  # each [E, F], plan edge order
+    block_offsets: jnp.ndarray,  # [T, MB] int32
+    nblocks: jnp.ndarray,  # [T] int32
+    sid_all: jnp.ndarray,  # [T, MB, TE] int32 tile-local aligned ids (-1 pad)
+    lot_all: jnp.ndarray,  # [T, MB, TE] int32 window-local other ids (-1 pad)
+    win_start: jnp.ndarray,  # [T] int32
+    n_node: int,
+    meta: Tuple[int, ...],  # (TN, TE, MB, required, W)
+    combine: Callable,  # (win_vals, tile_vals, edge_vals) -> list of [TE, TF]
+    reduces: Sequence[Tuple[str, int]],  # ("sum"|"min"|"max", expr index)
+    out_dtype=jnp.float32,
+    tile_features: int = 256,
+    empty_value: float = 0.0,
+    interpret: bool = False,
+) -> List[jnp.ndarray]:
+    """One fused pass over the edges of each node tile.  Returns one
+    [n_node, F] array per entry of ``reduces``.
+
+    ``combine`` is traced INSIDE the kernel on fp32 [TE, TF] blocks; rows
+    whose aligned id is -1 (padding / tile over-cover) see zeros from both
+    gathers and arbitrary edge-stream rows -- combine must stay finite on
+    them (they are excluded from every reduction).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    tables_win = list(tables_win)
+    tables_tile = list(tables_tile)
+    edge_streams = list(edge_streams)
+    n_wt, n_tt, n_es = len(tables_win), len(tables_tile), len(edge_streams)
+    TN, TE, MB = meta[0], meta[1], meta[2]
+    W = int(meta[4])
+    n_tiles = (n_node + TN - 1) // TN
+    shapes = [a.shape for a in tables_win + tables_tile + edge_streams]
+    F = shapes[0][1]
+    assert all(s[1] == F for s in shapes), f"feature dims differ: {shapes}"
+    reduces = tuple(reduces)
+    R = len(reduces)
+    assert R >= 1
+    win_b = max((a.dtype.itemsize for a in tables_win), default=4)
+    es_b = max((a.dtype.itemsize for a in edge_streams), default=4)
+    TF = _pick_tf(F, tile_features, n_wt, W, n_es, TE, R, (win_b, es_b))
+    assert TF is not None, f"F={F} must be a multiple of 128"
+    assert n_node % TN == 0 and W % 8 == 0 and W <= n_node
+    if n_es:
+        E = edge_streams[0].shape[0]
+        if not (len(meta) > 3 and E >= meta[3]):
+            edge_streams = [
+                jnp.concatenate([d, jnp.zeros((TE, F), d.dtype)])
+                for d in edge_streams
+            ]
+
+    any_mm = any(op in ("min", "max") for op, _ in reduces)
+
+    def kernel(off_ref, nb_ref, win_ref, sid_ref, lot_ref, *rest):
+        tile_refs = rest[:n_tt]
+        win_hbm = rest[n_tt : n_tt + n_wt]
+        es_hbm = rest[n_tt + n_wt : n_tt + n_wt + n_es]
+        o_ref = rest[n_tt + n_wt + n_es]
+        scr = rest[n_tt + n_wt + n_es + 1 :]
+        win_scr = scr[:n_wt]
+        es_scr = scr[n_wt : n_wt + n_es]
+        sems = scr[n_wt + n_es :]
+        sem_win = sems[0] if n_wt else None
+        sem_es = sems[-1] if n_es else None
+
+        f = pl.program_id(0)
+        t = pl.program_id(1)
+        nb = nb_ref[t]
+
+        for r, (op, _) in enumerate(reduces):
+            o_ref[:, r * TF : (r + 1) * TF] = jnp.full(
+                (TN, TF),
+                empty_value if op in ("min", "max") else 0.0,
+                o_ref.dtype,
+            )
+
+        def win_dma(i):
+            start = pl.multiple_of(win_ref[t], 8)
+            return pltpu.make_async_copy(
+                win_hbm[i].at[pl.ds(start, W), pl.ds(f * TF, TF)],
+                win_scr[i],
+                sem_win.at[i],
+            )
+
+        def edma(i, bb, slot):
+            st = pl.multiple_of(off_ref[t, bb], 8)
+            return pltpu.make_async_copy(
+                es_hbm[i].at[pl.ds(st, TE), pl.ds(f * TF, TF)],
+                es_scr[i].at[slot],
+                sem_es.at[i, slot],
+            )
+
+        def dot_red(a, v):  # [TN, TE] x [TE, TF] -> [TN, TF]
+            return jax.lax.dot_general(
+                a.astype(jnp.bfloat16),
+                v.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        def dot_sel(a, v):  # [K, TE] x [K, TF] -> [TE, TF]
+            return jax.lax.dot_general(
+                a.astype(jnp.bfloat16),
+                v.astype(jnp.bfloat16),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        def sel_exact(oh, vals, dot):
+            """Gather/select through a 0/1 matrix, exact for any input:
+            bf16 passes directly, fp32 via a 3-way bf16 split (hi + mid +
+            lo covers all 24 mantissa bits; one-hot rows sum one term)."""
+            if vals.dtype == jnp.bfloat16:
+                return dot(oh, vals)
+            v = vals.astype(jnp.float32)
+            hi = v.astype(jnp.bfloat16)
+            rem = v - hi.astype(jnp.float32)
+            mid = rem.astype(jnp.bfloat16)
+            lo = rem - mid.astype(jnp.float32)
+            return dot(oh, hi) + dot(oh, mid) + dot(oh, lo)
+
+        def sum_update(oh, v):
+            """Segment-sum MXU pass; bf16 out -> one pass, fp32 out -> a
+            hi/lo split (~2^-18 relative, same as segment_sum_pallas)."""
+            if out_dtype == jnp.bfloat16:
+                return dot_red(oh, v.astype(jnp.bfloat16))
+            hi = v.astype(jnp.bfloat16)
+            lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return dot_red(oh, hi) + dot_red(oh, lo)
+
+        @pl.when(nb > 0)
+        def _run():
+            for i in range(n_wt):
+                win_dma(i).start()
+            for i in range(n_es):
+                edma(i, 0, 0).start()
+            for i in range(n_wt):
+                win_dma(i).wait()
+
+            def block_ctx(b):
+                """Gathered values + masks for edge block b of tile t."""
+                sid = sid_ref[0, pl.ds(b, 1), :]  # [1, TE]
+                lot = lot_ref[0, pl.ds(b, 1), :]
+                rows_tn = jax.lax.broadcasted_iota(jnp.int32, (TN, TE), 0)
+                oh_tile = (rows_tn == sid).astype(jnp.float32)
+                rows_w = jax.lax.broadcasted_iota(jnp.int32, (W, TE), 0)
+                oh_win = (rows_w == lot).astype(jnp.float32)
+                wv = [
+                    sel_exact(oh_win, win_scr[i][:], dot_sel)
+                    for i in range(n_wt)
+                ]
+                tv = [
+                    sel_exact(oh_tile, tile_refs[i][:], dot_sel)
+                    for i in range(n_tt)
+                ]
+                ev = [
+                    es_scr[i][b % 2].astype(jnp.float32) for i in range(n_es)
+                ]
+                sid_col = valid = None
+                if any_mm:
+                    # column copy of sid without a (1,TE)->(TE,1) reshape
+                    # (Mosaic can't): contract the one-hot against row+1
+                    rows1 = (
+                        jax.lax.broadcasted_iota(jnp.int32, (TN, 1), 0) + 1
+                    ).astype(jnp.bfloat16)  # values <= TN+1: bf16-exact
+                    sid_col = (
+                        jax.lax.dot_general(
+                            oh_tile.astype(jnp.bfloat16),
+                            rows1,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        - 1.0
+                    )  # [TE, 1]; -1 where row invalid
+                    valid = sid_col >= 0.0
+                return oh_tile, wv, tv, ev, sid_col, valid
+
+            def scan_minmax(v, sid_col, valid):
+                """Segmented inclusive max/min scans; extrema sit at each
+                within-block segment's last row (the segment_minmax scan
+                of ops/pallas_segment.py)."""
+                xmx = jnp.where(valid, v, -_BIG)
+                xmn = jnp.where(valid, v, _BIG)
+                s = 1
+                while s < TE:
+                    pad_sid = jnp.full((s, 1), -2.0, jnp.float32)
+                    sid_shift = jnp.concatenate([pad_sid, sid_col[:-s]], 0)
+                    same = (sid_shift == sid_col) & valid
+                    sh_mx = jnp.concatenate(
+                        [jnp.full((s, TF), -_BIG, jnp.float32), xmx[:-s]], 0
+                    )
+                    xmx = jnp.maximum(xmx, jnp.where(same, sh_mx, -_BIG))
+                    sh_mn = jnp.concatenate(
+                        [jnp.full((s, TF), _BIG, jnp.float32), xmn[:-s]], 0
+                    )
+                    xmn = jnp.minimum(xmn, jnp.where(same, sh_mn, _BIG))
+                    s *= 2
+                sid_next = jnp.concatenate(
+                    [sid_col[1:], jnp.full((1, 1), -3.0, jnp.float32)], 0
+                )
+                end_col = (sid_col != sid_next) & valid
+                return xmx, xmn, end_col
+
+            def body(b, accs):
+                @pl.when(b + 1 < nb)
+                def _pf():
+                    for i in range(n_es):
+                        edma(i, b + 1, (b + 1) % 2).start()
+
+                for i in range(n_es):
+                    edma(i, b, b % 2).wait()
+                oh_tile, wv, tv, ev, sid_col, valid = block_ctx(b)
+                exprs = combine(wv, tv, ev)
+                scans = {}
+                new = []
+                for (op, ei), acc in zip(reduces, accs):
+                    v = exprs[ei]
+                    if op == "sum":
+                        new.append(acc + sum_update(oh_tile, v))
+                        continue
+                    if ei not in scans:
+                        scans[ei] = scan_minmax(v, sid_col, valid)
+                    xmx, xmn, end_col = scans[ei]
+                    x = xmx if op == "max" else xmn
+                    # only end rows carry nonzero values; the one-hot
+                    # matmul then sums exactly one term per (node, block)
+                    out_b = sel_exact(
+                        oh_tile, jnp.where(end_col, x, 0.0), dot_red
+                    )
+                    has = dot_red(oh_tile, end_col.astype(jnp.float32))
+                    has = has > 0.5
+                    m = jnp.maximum if op == "max" else jnp.minimum
+                    new.append(jnp.where(has, m(acc, out_b), acc))
+                return tuple(new)
+
+            init_vals = {"sum": 0.0, "max": -_BIG, "min": _BIG}
+            accs = jax.lax.fori_loop(
+                0, nb, body,
+                tuple(
+                    jnp.full((TN, TF), init_vals[op], jnp.float32)
+                    for op, _ in reduces
+                ),
+            )
+            for r, ((op, _), a) in enumerate(zip(reduces, accs)):
+                if op == "max":
+                    a = jnp.where(a > -_BIG / 2, a, empty_value)
+                if op == "min":
+                    a = jnp.where(a < _BIG / 2, a, empty_value)
+                o_ref[:, r * TF : (r + 1) * TF] = a.astype(o_ref.dtype)
+
+    grid = (F // TF, n_tiles)
+    in_specs = (
+        [
+            pl.BlockSpec((1, MB, TE), lambda f, t, *_: (t, 0, 0)),  # sid
+            pl.BlockSpec((1, MB, TE), lambda f, t, *_: (t, 0, 0)),  # lot
+        ]
+        + [
+            pl.BlockSpec((TN, TF), lambda f, t, *_: (t, f))
+            for _ in range(n_tt)
+        ]
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_wt + n_es)]
+    )
+    scratch = [pltpu.VMEM((W, TF), a.dtype) for a in tables_win] + [
+        pltpu.VMEM((2, TE, TF), a.dtype) for a in edge_streams
+    ]
+    if n_wt:
+        scratch.append(pltpu.SemaphoreType.DMA((n_wt,)))
+    if n_es:
+        scratch.append(pltpu.SemaphoreType.DMA((n_es, 2)))
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # block_offsets, nblocks, win_start
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((TN, R * TF), lambda f, t, *_: (t, f)),
+            scratch_shapes=scratch,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_node, R * F), out_dtype),
+        interpret=interpret,
+    )(
+        block_offsets, nblocks, win_start, sid_all, lot_all,
+        *tables_tile, *tables_win, *edge_streams,
+    )
+    packed = out.reshape(n_node, F // TF, R, TF)
+    return [packed[:, :, r, :].reshape(n_node, F) for r in range(R)]
+
+
+# ---------------------------------------------------------------------------
+# Plan plumbing
+# ---------------------------------------------------------------------------
+
+
+def _rcv_plan(g):
+    return (g.agg_rcv_off, g.agg_rcv_nb, g.agg_rcv_sid, g.agg_rcv_lot,
+            g.agg_rcv_win)
+
+
+def _snd_plan(g):
+    return (g.agg_snd_off, g.agg_snd_nb, g.agg_snd_sid, g.agg_snd_lot,
+            g.agg_snd_win)
+
+
+def has_window_plans(graph) -> bool:
+    return (
+        graph.agg_meta is not None
+        and len(graph.agg_meta) > 4
+        and graph.agg_meta[4] is not None
+        and graph.agg_rcv_lot is not None
+        and graph.agg_snd_lot is not None
+        and jax.default_backend() == "tpu"
+    )
+
+
+def _call(graph, plan, *, interpret=False, **kw):
+    off, nb, sid, lot, win = plan
+    return window_gather_reduce_raw(
+        block_offsets=off, nblocks=nb, sid_all=sid, lot_all=lot,
+        win_start=win, n_node=graph.n_node, meta=graph.agg_meta,
+        interpret=interpret, **kw,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear op: gather at one endpoint -> segment-sum at the other
+# ---------------------------------------------------------------------------
+
+
+def gather_segsum(
+    graph, table: jnp.ndarray, src: str = "senders", interpret: bool = False
+):
+    """sum_{e: rcv[e]=n} table[snd[e]]  (src="senders"), or the mirrored
+    sender-side sum (src="receivers") -- the GIN/SAGE/MFC message+aggregate
+    collapsed into one kernel with NO [E, F] intermediate.  Linear, so the
+    transpose is the same kernel on the opposite plan; composes under AD
+    to any order (grad-of-grad safe)."""
+    from jax.custom_derivatives import linear_call
+
+    assert src in ("senders", "receivers")
+    fplan = _rcv_plan(graph) if src == "senders" else _snd_plan(graph)
+    tplan = _snd_plan(graph) if src == "senders" else _rcv_plan(graph)
+
+    def fwd(res, tbl):
+        return _call(
+            graph, fplan, tables_win=[tbl], tables_tile=[], edge_streams=[],
+            combine=lambda wv, tv, ev: [wv[0]], reduces=(("sum", 0),),
+            out_dtype=tbl.dtype, interpret=interpret,
+        )[0]
+
+    def trans(res, ct):
+        return _call(
+            graph, tplan, tables_win=[ct], tables_tile=[], edge_streams=[],
+            combine=lambda wv, tv, ev: [wv[0]], reduces=(("sum", 0),),
+            out_dtype=ct.dtype, interpret=interpret,
+        )[0]
+
+    return linear_call(fwd, trans, (), table)
+
+
+# ---------------------------------------------------------------------------
+# Fused segment extrema of h = h_i[rcv] + h_j[snd] (+ edge term)
+# ---------------------------------------------------------------------------
+
+
+def _round(v, dt):
+    """Quantize h to the compute dtype: ALL comparisons -- extrema, tie
+    counts, tie routing -- happen on the rounded value, so primal, JVP and
+    transpose agree bitwise."""
+    return v.astype(dt).astype(jnp.float32)
+
+
+def fused_minmax(
+    graph, h_i: jnp.ndarray, h_j: jnp.ndarray,
+    edge_term: Optional[jnp.ndarray] = None, interpret: bool = False,
+):
+    """(min h, max h) at receivers for h[e] = h_i[rcv[e]] + h_j[snd[e]]
+    (+ edge_term[e]) WITHOUT h ever existing in HBM; [N, F] each.
+
+    AD structure (composes under grad-of-grad, ops/aggregate.py preamble):
+    custom_jvp whose tangent map is t = segsum(w * tt) with tie-split
+    weights w.  The extrema are piecewise linear in the inputs, so w is
+    locally constant -- every residual of the tangent linear_call is
+    stop_gradient-ed, which is the exact a.e. second derivative (zero),
+    and keeps outer higher-order tangents away from the raw kernels
+    (linear_call residuals must be tangent-free)."""
+    dt = h_i.dtype
+    rcv, snd = _rcv_plan(graph), _snd_plan(graph)
+    has_e = edge_term is not None
+
+    def _h(wv, tv, ev):
+        # h_j through the window, h_i through the tile (receiver-aligned)
+        v = wv[0] + tv[0]
+        if has_e:
+            v = v + ev[0]
+        return _round(v, dt)
+
+    @jax.custom_jvp
+    def _mm(*args):
+        h_i_, h_j_ = args[0], args[1]
+        et = [args[2]] if has_e else []
+        outs = _call(
+            graph, rcv,
+            tables_win=[h_j_], tables_tile=[h_i_], edge_streams=et,
+            combine=lambda wv, tv, ev: [_h(wv, tv, ev)],
+            reduces=(("min", 0), ("max", 0)),
+            out_dtype=dt, interpret=interpret,
+        )
+        return tuple(outs)  # (min, max)
+
+    @_mm.defjvp
+    def _mm_jvp(primals, tangents):
+        from jax.custom_derivatives import linear_call
+
+        sg = jax.lax.stop_gradient
+        mn, mx = _mm(*primals)
+        h_i_, h_j_ = sg(primals[0]), sg(primals[1])
+        et = sg(primals[2]) if has_e else None
+        mn_c, mx_c = sg(mn), sg(mx)
+
+        # tie counts against the written extrema (every operand already
+        # stop_gradient-ed: no tangent ever reaches this raw kernel)
+        ties = _call(
+            graph, rcv,
+            tables_win=[h_j_],
+            tables_tile=[h_i_, mn_c, mx_c],
+            edge_streams=[et] if has_e else [],
+            combine=lambda wv, tv, ev: (
+                lambda h: [
+                    (h == tv[1]).astype(jnp.float32),
+                    (h == tv[2]).astype(jnp.float32),
+                ]
+            )(_h(wv, tv, ev)),
+            reduces=(("sum", 0), ("sum", 1)),
+            out_dtype=jnp.float32, interpret=interpret,
+        )
+        # fp32 inverse-tie weights: exact through the 3-way-split selects
+        inv_mn = 1.0 / jnp.maximum(sg(ties[0]), 1.0)
+        inv_mx = 1.0 / jnp.maximum(sg(ties[1]), 1.0)
+
+        res = (h_i_, h_j_, mn_c, mx_c, inv_mn, inv_mx) + (
+            (et,) if has_e else ()
+        )
+
+        def tfwd(res_, tans):
+            h_i_, h_j_, mn_, mx_, iv_mn, iv_mx = res_[:6]
+            et_ = [res_[6]] if has_e else []
+            ti, tj = tans[0], tans[1]
+            te = [tans[2]] if has_e else []
+
+            def comb(wv, tv, ev):
+                h = _h(wv[:1], tv[:1], ev[:1])
+                tt = wv[1] + tv[1]
+                if has_e:
+                    tt = tt + ev[1]
+                w_mn = jnp.where(h == tv[2], tv[4], 0.0)
+                w_mx = jnp.where(h == tv[3], tv[5], 0.0)
+                return [w_mn * tt, w_mx * tt]
+
+            outs = _call(
+                graph, rcv,
+                tables_win=[h_j_, tj],
+                tables_tile=[h_i_, ti, mn_, mx_, iv_mn, iv_mx],
+                edge_streams=et_ + te,
+                combine=comb,
+                reduces=(("sum", 0), ("sum", 1)),
+                out_dtype=dt, interpret=interpret,
+            )
+            return (outs[0], outs[1])  # (t_min, t_max)
+
+        def ttrans(res_, cts):
+            h_i_, h_j_, mn_, mx_, iv_mn, iv_mx = res_[:6]
+            et_ = [res_[6]] if has_e else []
+            cC, cD = cts  # wrt (min, max) tangents
+            # fold the inverse-tie weights into the cotangents at NODE
+            # level so the sender-plan pass needs 5 window tables, not 7
+            tn_ = iv_mn * cC.astype(jnp.float32)
+            tx_ = iv_mx * cD.astype(jnp.float32)
+
+            def ct_h(h, mn_r, mx_r, c, d):
+                return jnp.where(h == mn_r, c, 0.0) + jnp.where(
+                    h == mx_r, d, 0.0
+                )
+
+            # d/d ti: cotangent tables ride the TILE side (receiver
+            # aligned); the window only re-supplies h_j for h
+            ct_ti = _call(
+                graph, rcv,
+                tables_win=[h_j_],
+                tables_tile=[h_i_, mn_, mx_, tn_, tx_],
+                edge_streams=et_,
+                combine=lambda wv, tv, ev: [
+                    ct_h(_h(wv[:1], tv[:1], ev), *tv[1:])
+                ],
+                reduces=(("sum", 0),),
+                out_dtype=dt, interpret=interpret,
+            )[0]
+            # d/d tj: the same per-edge value reduced BY SENDER -- the
+            # sender plan, receiver-side tables through the window
+            et_p = [res_[6][graph.agg_snd_perm]] if has_e else []
+            ct_tj = _call(
+                graph, snd,
+                tables_win=[h_i_, mn_, mx_, tn_, tx_],
+                tables_tile=[h_j_],
+                edge_streams=et_p,
+                combine=lambda wv, tv, ev: [
+                    ct_h(
+                        _round(
+                            wv[0] + tv[0] + (ev[0] if has_e else 0.0), dt
+                        ),
+                        *wv[1:],
+                    )
+                ],
+                reduces=(("sum", 0),),
+                out_dtype=dt, interpret=interpret,
+            )[0]
+            if not has_e:
+                return (ct_ti, ct_tj)
+            # edge-tangent cotangent = the per-edge ct_h, needed in edge
+            # order: unavoidable [E, *] traffic, but through the existing
+            # scatter-free gathers (only reached when edge features exist)
+            from hydragnn_tpu.ops.aggregate import gather_nodes
+
+            tabs_r = jnp.concatenate([mn_, mx_, tn_, tx_], axis=-1)
+            g_r = gather_nodes(graph, tabs_r, "receivers")
+            hi_r = gather_nodes(graph, h_i_, "receivers")
+            hj_s = gather_nodes(graph, h_j_, "senders")
+            h_e = _round(
+                hi_r.astype(jnp.float32)
+                + hj_s.astype(jnp.float32)
+                + res_[6].astype(jnp.float32),
+                dt,
+            )
+            parts = jnp.split(g_r.astype(jnp.float32), 4, axis=-1)
+            ct_e = ct_h(h_e, *parts)
+            ct_e = jnp.where(graph.edge_mask[:, None], ct_e, 0.0)
+            return (ct_ti, ct_tj, ct_e.astype(dt))
+
+        tans = tuple(
+            jnp.zeros_like(p)
+            if isinstance(t, jax.custom_derivatives.SymbolicZero)
+            else t
+            for p, t in zip(primals, tangents)
+        )
+        t_out = linear_call(tfwd, ttrans, res, tans)
+        return (mn, mx), tuple(t_out)
+
+    args = (h_i, h_j) + ((edge_term,) if has_e else ())
+    return _mm(*args)
+
+
+# ---------------------------------------------------------------------------
+# PNA fused aggregation: (sum, sumsq, min, max) of h = h_i[rcv] + h_j[snd]
+# (+ edge term)
+# ---------------------------------------------------------------------------
+
+
+def fused_pna_aggregate(
+    graph, h_i: jnp.ndarray, h_j: jnp.ndarray,
+    edge_term: Optional[jnp.ndarray] = None, interpret: bool = False,
+):
+    """(sum h, sum h^2, min h, max h) at receivers; each [N, F].
+
+    sum and sumsq DECOMPOSE algebraically over the receiver segments --
+    sum  = deg * h_i + S(h_j) (+ A(e))
+    sumsq = deg * h_i^2 + S(h_j^2) + 2 h_i * S(h_j) (+ cross/e^2 terms) --
+    where S is the fused linear gather_segsum and A the masked edge
+    aggregate: every piece is either node-level elementwise or a linear
+    op with constant residuals, so this path is differentiable to ANY
+    order with no custom rules at all.  min/max run through fused_minmax
+    (custom_jvp with a.e.-exact stop-gradient residuals)."""
+    deg = jnp.maximum(graph.rcv_count, 0.0).astype(h_i.dtype)[:, None]
+    s_j = gather_segsum(graph, h_j, "senders", interpret=interpret)
+    s2_j = gather_segsum(graph, h_j * h_j, "senders", interpret=interpret)
+    s = deg * h_i + s_j
+    s2 = deg * (h_i * h_i) + s2_j + 2.0 * h_i * s_j
+    if edge_term is not None:
+        from hydragnn_tpu.ops.aggregate import aggregate, gather_nodes
+
+        a_e = aggregate(graph, edge_term, "sum", "receivers")
+        a_e2 = aggregate(graph, edge_term * edge_term, "sum", "receivers")
+        hj_e = gather_nodes(graph, h_j, "senders") * edge_term
+        a_je = aggregate(graph, hj_e, "sum", "receivers")
+        s = s + a_e
+        s2 = s2 + a_e2 + 2.0 * (h_i * a_e + a_je)
+    mn, mx = fused_minmax(graph, h_i, h_j, edge_term, interpret=interpret)
+    return s, s2, mn, mx

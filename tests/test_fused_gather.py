@@ -1,0 +1,190 @@
+"""Fused gather->combine->segment-reduce kernel (ops/fused_gather.py) on
+the CPU interpreter: window planning, forward parity vs the XLA
+composition, and the full AD surface (grad, grad wrt every input,
+grad-of-grad) -- the TPU run of the same kernels is covered by
+tests/test_pallas_tpu.py and the bench."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hydragnn_tpu.data.batching import collate
+from hydragnn_tpu.data.pipeline import sort_edges_by_receiver
+from hydragnn_tpu.data.sample import GraphSample
+from hydragnn_tpu.ops.fused_gather import (
+    fused_pna_aggregate,
+    gather_segsum,
+    static_window_width,
+)
+
+
+def _window_batch(n_graphs=5, n=40, deg=6, seed=0, with_edge_attr=False):
+    """Small receiver-sorted batch WITH fused window plans."""
+    rng = np.random.default_rng(seed)
+    samples = []
+    for _ in range(n_graphs):
+        senders = np.repeat(np.arange(n), deg)
+        receivers = (senders + rng.integers(1, n, n * deg)) % n
+        s = GraphSample(
+            x=rng.normal(size=(n, 1)).astype(np.float32),
+            pos=rng.uniform(0, 5, (n, 3)).astype(np.float32),
+            edge_index=np.stack([senders, receivers]).astype(np.int64),
+            y_graph=np.zeros(1, np.float32),
+        )
+        if with_edge_attr:
+            s.edge_attr = rng.normal(size=(n * deg, 3)).astype(np.float32)
+        samples.append(s)
+    sort_edges_by_receiver(samples)
+    W = static_window_width(n, 128)
+    n_node = ((n_graphs * n + 1 + 127) // 128) * 128
+    n_edge = n_graphs * n * deg + 512 + 8
+    max_deg = max(
+        int(np.bincount(s.edge_index[k]).max()) for s in samples for k in (0, 1)
+    )
+    mb = int(np.ceil((128 * max_deg + 8) / 512)) + 1
+    batch = collate(
+        samples, n_node, n_edge, n_graphs + 1, agg_plan=(128, 512, mb, W)
+    )
+    assert batch.agg_rcv_lot is not None, "window plan failed to build"
+    assert len(batch.agg_meta) == 5
+    return batch
+
+
+def _ref_sum(batch, table):
+    h = jnp.where(batch.edge_mask[:, None], table[batch.senders], 0.0)
+    return jax.ops.segment_sum(h, batch.receivers, batch.n_node)
+
+
+def test_window_plan_covers_every_edge():
+    batch = _window_batch()
+    lot = np.asarray(batch.agg_rcv_lot)
+    sid = np.asarray(batch.agg_rcv_sid)
+    # every valid (in-tile) edge row must have a valid window-local id
+    assert ((lot >= 0) == (sid >= 0)).all()
+    W = batch.agg_meta[4]
+    off = np.asarray(batch.agg_rcv_off)
+    snd = np.asarray(batch.senders)
+    win = np.asarray(batch.agg_rcv_win)
+    T, MB, TE = sid.shape
+    ext = np.concatenate([snd, np.zeros(TE, snd.dtype)])
+    for t in range(T):
+        for b in range(MB):
+            rows = ext[off[t, b] : off[t, b] + TE]
+            ok = sid[t, b] >= 0
+            assert (lot[t, b][ok] == rows[: len(ok)][ok] - win[t]).all()
+            assert (lot[t, b][ok] < W).all()
+
+
+def test_gather_segsum_matches_xla_fwd_and_grad():
+    batch = _window_batch()
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(batch.n_node, 128)).astype(np.float32))
+
+    out = gather_segsum(batch, x, "senders", interpret=True)
+    ref = _ref_sum(batch, x)
+    assert float(jnp.abs(out - ref).max()) < 1e-4
+
+    ct = jnp.asarray(rng.normal(size=out.shape).astype(np.float32))
+    g = jax.grad(
+        lambda v: jnp.vdot(gather_segsum(batch, v, "senders", interpret=True), ct)
+    )(x)
+    g_ref = jax.grad(lambda v: jnp.vdot(_ref_sum(batch, v), ct))(x)
+    assert float(jnp.abs(g - g_ref).max()) < 1e-4
+
+
+def _ref_pna(batch, h_i, h_j, et=None):
+    h = h_i[batch.receivers] + h_j[batch.senders]
+    if et is not None:
+        h = h + et
+    em = batch.edge_mask[:, None]
+    N = batch.n_node
+    s = jax.ops.segment_sum(jnp.where(em, h, 0.0), batch.receivers, N)
+    s2 = jax.ops.segment_sum(jnp.where(em, h * h, 0.0), batch.receivers, N)
+    mn = jax.ops.segment_min(jnp.where(em, h, jnp.inf), batch.receivers, N)
+    mx = jax.ops.segment_max(jnp.where(em, h, -jnp.inf), batch.receivers, N)
+    mn = jnp.where(jnp.isfinite(mn), mn, 0.0)
+    mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+    return s, s2, mn, mx
+
+
+@pytest.mark.parametrize("with_edge", [False, True])
+def test_fused_pna_forward_and_grads(with_edge):
+    batch = _window_batch(with_edge_attr=with_edge)
+    rng = np.random.default_rng(2)
+    F = 128
+    h_i = jnp.asarray(rng.normal(size=(batch.n_node, F)).astype(np.float32))
+    h_j = jnp.asarray(rng.normal(size=(batch.n_node, F)).astype(np.float32))
+    et = (
+        jnp.asarray(rng.normal(size=(batch.n_edge, F)).astype(np.float32))
+        if with_edge
+        else None
+    )
+    args = (h_i, h_j) + ((et,) if with_edge else ())
+
+    outs = fused_pna_aggregate(batch, *args, interpret=True)
+    refs = _ref_pna(batch, *args)
+    for o, r, name in zip(outs, refs, ("sum", "sumsq", "min", "max")):
+        assert float(jnp.abs(o - r).max()) < 2e-3, name
+
+    # cotangent-weighted scalar loss -> grads wrt every input
+    cts = [
+        jnp.asarray(rng.normal(size=(batch.n_node, F)).astype(np.float32))
+        for _ in range(4)
+    ]
+
+    def loss(fn):
+        def inner(*a):
+            return sum(jnp.vdot(o, c) for o, c in zip(fn(*a), cts))
+
+        return inner
+
+    argnums = tuple(range(len(args)))
+    g = jax.grad(
+        loss(lambda *a: fused_pna_aggregate(batch, *a, interpret=True)),
+        argnums,
+    )(*args)
+    g_ref = jax.grad(loss(lambda *a: _ref_pna(batch, *a)), argnums)(*args)
+    names = ("h_i", "h_j", "edge")[: len(args)]
+    for a, b, name in zip(g, g_ref, names):
+        if name == "edge":
+            b = jnp.where(batch.edge_mask[:, None], b, 0.0)
+        assert float(jnp.abs(a - b).max()) < 2e-3, name
+
+
+def test_fused_pna_grad_of_grad():
+    """Reverse-over-reverse (the MLIP force-training composition) runs
+    through the fused kernels and matches the XLA composition."""
+    batch = _window_batch(n_graphs=4)
+    rng = np.random.default_rng(3)
+    F = 128
+    x = jnp.asarray(rng.normal(size=(batch.n_node, F)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(batch.n_node, F)).astype(np.float32))
+
+    def energy(fn, x_):
+        s, s2, mn, mx = fn(x_, 0.5 * x_)
+        return jnp.sum(s * s) + jnp.sum(s2) + jnp.sum(mn * mx)
+
+    def force_loss(fn, x_):
+        f = jax.grad(lambda y: energy(fn, y))(x_)
+        return jnp.vdot(f, v)
+
+    fused = lambda a, b: fused_pna_aggregate(batch, a, b, interpret=True)
+    ref = lambda a, b: _ref_pna(batch, a, b)
+    g = jax.grad(lambda y: force_loss(fused, y))(x)
+    g_ref = jax.grad(lambda y: force_loss(ref, y))(x)
+    rel = float(jnp.abs(g - g_ref).max() / (jnp.abs(g_ref).max() + 1e-9))
+    assert rel < 5e-3, rel
+
+
+def test_neighbor_reduce_dispatch_cpu_fallback():
+    """On the CPU backend neighbor_reduce must take the XLA path even when
+    window plans exist (kernel dispatch is TPU-gated)."""
+    from hydragnn_tpu.ops.aggregate import neighbor_reduce
+
+    batch = _window_batch()
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(batch.n_node, 64)).astype(np.float32))
+    out = neighbor_reduce(batch, x, "sum")
+    assert float(jnp.abs(out - _ref_sum(batch, x)).max()) < 1e-5

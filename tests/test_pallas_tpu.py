@@ -63,6 +63,62 @@ def test_pallas_batch_training_matches_plain():
     assert abs(float(l1) - float(l2)) < 2e-4
 
 
+def _strip_windows(batch):
+    import dataclasses
+
+    return dataclasses.replace(
+        batch,
+        agg_rcv_lot=None,
+        agg_rcv_win=None,
+        agg_snd_lot=None,
+        agg_snd_win=None,
+        agg_meta=batch.agg_meta[:4],
+    )
+
+
+def test_fused_window_pna_step_matches_unfused():
+    """PNA train step on the fused gather->combine->reduce path
+    (ops/fused_gather.py, h never in HBM) vs the same batch with window
+    plans stripped (the r02 gather+segment composition)."""
+    from bench import _mk_cfg, build_bench_batch
+    from hydragnn_tpu.models.create import create_model
+    from hydragnn_tpu.train.loop import Trainer
+
+    batch = build_bench_batch(n_graphs=8)
+    assert len(batch.agg_meta) == 5 and batch.agg_rcv_lot is not None
+    cfg = _mk_cfg(
+        "PNA", 256, 2,
+        pna_deg=tuple(np.bincount(np.full(2048, 16)).tolist()),
+    )
+    model = create_model("PNA", cfg)
+    tr = Trainer(model, {"type": "AdamW", "learning_rate": 1e-3})
+    state = tr.init_state(batch)
+    _, l1, _ = jax.jit(tr.train_step)(state, batch)
+    _, l2, _ = jax.jit(tr.train_step)(state, _strip_windows(batch))
+    l1, l2 = float(l1), float(l2)
+    assert np.isfinite(l1)
+    assert abs(l1 - l2) / max(abs(l2), 1.0) < 1e-3, (l1, l2)
+
+
+def test_fused_window_gin_step_matches_unfused():
+    """GIN neighbor_reduce on the fused linear kernel vs the unfused
+    composition (same batch, windows stripped)."""
+    from bench import _mk_cfg, build_bench_batch
+    from hydragnn_tpu.models.create import create_model
+    from hydragnn_tpu.train.loop import Trainer
+
+    batch = build_bench_batch(n_graphs=8)
+    cfg = _mk_cfg("GIN", 256, 2)
+    model = create_model("GIN", cfg)
+    tr = Trainer(model, {"type": "AdamW", "learning_rate": 1e-3})
+    state = tr.init_state(batch)
+    _, l1, _ = jax.jit(tr.train_step)(state, batch)
+    _, l2, _ = jax.jit(tr.train_step)(state, _strip_windows(batch))
+    l1, l2 = float(l1), float(l2)
+    assert np.isfinite(l1)
+    assert abs(l1 - l2) / max(abs(l2), 1.0) < 1e-3, (l1, l2)
+
+
 def test_pallas_segment_sum_matches_xla():
     import jax.numpy as jnp
 
