@@ -540,11 +540,21 @@ def fused_minmax(
         )
         return tuple(outs)  # (min, max)
 
-    @_mm.defjvp
     def _mm_jvp(primals, tangents):
         from jax.custom_derivatives import linear_call
 
         sg = jax.lax.stop_gradient
+        # linear_call requires every linear operand to be an undefined
+        # primal at transpose time; an instantiated zero tangent (caller
+        # differentiates wrt a SUBSET of the inputs) is a constant and
+        # trips JAX's _linear_call_transpose_rule assert.  With
+        # symbolic_zeros=True we see which tangents exist, pass ONLY
+        # those through linear_call, and synthesize the zeros inside the
+        # callbacks (a constant inside the traced body is fine).
+        present = tuple(
+            not isinstance(t, jax.custom_derivatives.SymbolicZero)
+            for t in tangents
+        )
         mn, mx = _mm(*primals)
         h_i_, h_j_ = sg(primals[0]), sg(primals[1])
         et = sg(primals[2]) if has_e else None
@@ -574,11 +584,22 @@ def fused_minmax(
             (et,) if has_e else ()
         )
 
+        def _expand(res_, tans):
+            """Full (ti, tj[, te]) tuple: present tangents from ``tans``
+            (linear operands), absent ones as locally-created zeros."""
+            prims = (res_[0], res_[1]) + ((res_[6],) if has_e else ())
+            it = iter(tans)
+            return tuple(
+                next(it) if p else jnp.zeros_like(pr)
+                for p, pr in zip(present, prims)
+            )
+
         def tfwd(res_, tans):
             h_i_, h_j_, mn_, mx_, iv_mn, iv_mx = res_[:6]
             et_ = [res_[6]] if has_e else []
-            ti, tj = tans[0], tans[1]
-            te = [tans[2]] if has_e else []
+            full = _expand(res_, tans)
+            ti, tj = full[0], full[1]
+            te = [full[2]] if has_e else []
 
             def comb(wv, tv, ev):
                 h = _h(wv[:1], tv[:1], ev[:1])
@@ -647,7 +668,9 @@ def fused_minmax(
                 out_dtype=dt, interpret=interpret,
             )[0]
             if not has_e:
-                return (ct_ti, ct_tj)
+                return tuple(
+                    c for c, p in zip((ct_ti, ct_tj), present) if p
+                )
             # edge-tangent cotangent = the per-edge ct_h, needed in edge
             # order: unavoidable [E, *] traffic, but through the existing
             # scatter-free gathers (only reached when edge features exist)
@@ -666,16 +689,16 @@ def fused_minmax(
             parts = jnp.split(g_r.astype(jnp.float32), 4, axis=-1)
             ct_e = ct_h(h_e, *parts)
             ct_e = jnp.where(graph.edge_mask[:, None], ct_e, 0.0)
-            return (ct_ti, ct_tj, ct_e.astype(dt))
+            cts_all = (ct_ti, ct_tj, ct_e.astype(dt))
+            return tuple(c for c, p in zip(cts_all, present) if p)
 
-        tans = tuple(
-            jnp.zeros_like(p)
-            if isinstance(t, jax.custom_derivatives.SymbolicZero)
-            else t
-            for p, t in zip(primals, tangents)
-        )
+        if not any(present):
+            return (mn, mx), (jnp.zeros_like(mn), jnp.zeros_like(mx))
+        tans = tuple(t for t, p in zip(tangents, present) if p)
         t_out = linear_call(tfwd, ttrans, res, tans)
         return (mn, mx), tuple(t_out)
+
+    _mm.defjvp(_mm_jvp, symbolic_zeros=True)
 
     args = (h_i, h_j) + ((edge_term,) if has_e else ())
     return _mm(*args)

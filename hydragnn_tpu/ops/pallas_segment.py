@@ -218,7 +218,7 @@ def segment_sum_pallas_raw(
                 pl.BlockSpec(
                     (1, MB, TE), lambda f, t, off, nb: (t, 0, 0)
                 ),  # sid rows for this tile
-                pl.BlockSpec(memory_space=pltpu.ANY),  # data [E+TE, F]
+                pl.BlockSpec(memory_space=pl.ANY),  # data [E+TE, F]
             ],
             out_specs=pl.BlockSpec((TN, TF), lambda f, t, off, nb: (t, f)),
             scratch_shapes=[
@@ -397,7 +397,7 @@ def segment_minmax_pallas_raw(
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, MB, TE), lambda f, t, off, nb: (t, 0, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
                 (TN, 2 * TF), lambda f, t, off, nb: (t, f)

@@ -153,6 +153,28 @@ def test_fused_pna_forward_and_grads(with_edge):
         assert float(jnp.abs(a - b).max()) < 2e-3, name
 
 
+def test_fused_pna_grad_wrt_subset():
+    """grad wrt ONE input with the others held constant: the held-constant
+    tangents are symbolic zeros, which must not reach linear_call as
+    constant operands (JAX's transpose rule rejects them — regression for
+    the instantiated-zero-tangent crash)."""
+    batch = _window_batch(n_graphs=4)
+    rng = np.random.default_rng(7)
+    F = 128
+    h_i = jnp.asarray(rng.normal(size=(batch.n_node, F)).astype(np.float32))
+    h_j = jnp.asarray(rng.normal(size=(batch.n_node, F)).astype(np.float32))
+
+    def loss(fn, a, b):
+        return sum(jnp.sum(o) for o in fn(a, b))
+
+    fused = lambda a, b: fused_pna_aggregate(batch, a, b, interpret=True)
+    ref = lambda a, b: _ref_pna(batch, a, b)
+    for argnum in (0, 1):
+        g = jax.grad(lambda a, b: loss(fused, a, b), argnum)(h_i, h_j)
+        g_ref = jax.grad(lambda a, b: loss(ref, a, b), argnum)(h_i, h_j)
+        assert float(jnp.abs(g - g_ref).max()) < 2e-3, argnum
+
+
 def test_fused_pna_grad_of_grad():
     """Reverse-over-reverse (the MLIP force-training composition) runs
     through the fused kernels and matches the XLA composition."""
