@@ -286,6 +286,25 @@ def bench_gps(batch, attn_type="multihead"):
     return dt, _attach_floor(r, dt, batch, state, 256, 4, flops, attn=attn)
 
 
+def bench_gat(batch):
+    """GATv2 (heads=6, concat hidden layers): the SDDMM + segment-softmax
+    attention config VERDICT r03 item 3 asked for."""
+    from hydragnn_tpu.models.create import create_model
+    from hydragnn_tpu.train.loop import Trainer
+
+    cfg = _mk_cfg("GAT", 256, 4)
+    model = create_model("GAT", cfg)
+    trainer = Trainer(
+        model, {"type": "AdamW", "learning_rate": 1e-3}, precision="bf16"
+    )
+    state = trainer.init_state(batch)
+    step, flops, bytes_ = _aot(trainer.train_step, state, batch)
+    dt = _time_step(step, state, batch)
+    r = _roofline(dt, flops, bytes_)
+    # hidden conv layers carry width hidden*heads = 1536 node states
+    return dt, _attach_floor(r, dt, batch, state, 256 * 6, 4, flops)
+
+
 def bench_force_step(batch):
     """EGNN MLIP force-training step (grad-of-grad, SURVEY 3.5)."""
     from hydragnn_tpu.models.create import create_model
@@ -352,14 +371,25 @@ def main():
     # other configs' rows
     t_start = time.perf_counter()
 
-    def extra(name, fn):
-        if time.perf_counter() - t_start > budget:
-            details[name] = {"skipped": "bench time budget"}
-            return
-        try:
-            _, details[name] = fn()
-        except Exception as e:
-            details[name] = {"error": repr(e)[:120]}
+    def extra(name, fn, attempts=2):
+        # per-config retry on transient tunnel/remote-compile failures
+        # (VERDICT r03 item 4: BENCH_r03 shipped a gps row lost to a single
+        # remote_compile HTTP 500); budget is checked per ATTEMPT so a
+        # retry never silently eats the remaining configs' slots
+        for k in range(attempts):
+            if time.perf_counter() - t_start > budget:
+                details.setdefault(name, {"skipped": "bench time budget"})
+                return
+            try:
+                _, details[name] = fn()
+                break
+            except Exception as e:
+                details[name] = {"error": repr(e)[:120]}
+                print(
+                    f"[bench] {name} attempt {k+1} failed: {repr(e)[:80]}",
+                    file=sys.stderr,
+                    flush=True,
+                )
         print(
             f"[bench] {name} done at t={time.perf_counter()-t_start:.0f}s",
             file=sys.stderr,
@@ -368,6 +398,7 @@ def main():
 
     batch_pe = jax.device_put(build_bench_batch(with_pe=True))
     extra("mace_h128_L2", lambda: bench_mace(batch))
+    extra("gat_h256_L4", lambda: bench_gat(batch))
     extra("gps_gin_h256_L4", lambda: bench_gps(batch_pe))
     extra(
         "gps_performer_gin_h256_L4",
@@ -379,6 +410,14 @@ def main():
     # is {}); baseline = this framework's own naive XLA-scatter
     # implementation of the same PNA model/batch (773105 edges/s, r01)
     naive_xla_scatter_baseline = 773105.1
+    # per-config speed-of-light floors in the headline line (VERDICT r03
+    # item 4/weak 8): the honest external anchor, visible at a glance so a
+    # regression in ANY config moves the reported number
+    sol = {
+        k: v.get("sol_pct")
+        for k, v in details.items()
+        if isinstance(v, dict) and "sol_pct" in v
+    }
     print(
         json.dumps(
             {
@@ -386,6 +425,7 @@ def main():
                 "value": round(value, 1),
                 "unit": "edges/s",
                 "vs_baseline": round(value / naive_xla_scatter_baseline, 3),
+                "sol_pct": sol,
                 "details": details,
             }
         )

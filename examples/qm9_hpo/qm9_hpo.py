@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--num_epoch", type=int, default=6)
     ap.add_argument("--num_samples", type=int, default=400)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--workers", type=int, default=1,
+                    help="concurrent subprocess trials (TrialPool; the "
+                    "reference deephyper driver's parallel per-trial jobs)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -62,12 +65,14 @@ def main():
 
     if args.asha:
         best, best_val, log = successive_halving(
-            config, SPACE, num_trials=args.trials, min_epochs=2
+            config, SPACE, num_trials=args.trials, min_epochs=2,
+            workers=args.workers,
         )
     else:
         best, best_val, log = random_search(
             config, SPACE, num_trials=args.trials,
             log_path="qm9_hpo_trials.json",
+            workers=args.workers,
         )
     print("best overrides:", json.dumps(best))
     print(f"best val loss: {best_val:.6f} over {len(log)} trials")

@@ -347,7 +347,15 @@ def _make_loaders(config: Dict, train, val, test):
     from hydragnn_tpu.data.batching import compute_triplet_dim
 
     bs = int(config["NeuralNetwork"]["Training"]["batch_size"])
-    everything = list(train) + list(val) + list(test)
+    # size over the GLOBAL train set when train is a reshuffle view: any
+    # epoch may hand this host any sample, and static dims must also agree
+    # ACROSS hosts (jit shape consistency for the collectives)
+    base_train = (
+        train.dataset
+        if hasattr(train, "set_epoch") and hasattr(train, "dataset")
+        else train
+    )
+    everything = list(base_train) + list(val) + list(test)
     # scatter-free Pallas aggregation path (ops/pallas_segment.py): worth
     # the plan-building host cost when features are lane-aligned on TPU
     hidden = int(config["NeuralNetwork"]["Architecture"].get("hidden_dim", 0) or 0)
@@ -601,8 +609,23 @@ def run_training(config_or_path, use_deepspeed: bool = False):
     train, val, test = _build_datasets(config)
     config = update_config(config, train, val, test)
     if world > 1:
-        # per-process dataset shard (DistributedSampler/DDStore analogue)
-        train = shard_samples_for_host(train)
+        # train: cross-host per-epoch global reshuffle (the reference's
+        # DistributedSampler.set_epoch + DDStore any-rank-fetch,
+        # load_data.py:264-282 / distdataset.py:229-343) — every epoch
+        # re-permutes the GLOBAL dataset and hands each host a fresh
+        # contiguous slice; val/test keep fixed shards (never reshuffled)
+        from hydragnn_tpu.data.distshuffle import DistributedShuffleView
+
+        num_buckets = int(
+            config["NeuralNetwork"]["Training"].get("num_buckets", 1) or 1
+        )
+        if num_buckets > 1:
+            # bucketed loaders pre-sort samples by size; a lazily
+            # re-permuting view cannot feed them -- static host shards
+            # (documented divergence, COVERAGE.md)
+            train = shard_samples_for_host(train)
+        else:
+            train = DistributedShuffleView(train)
         val = shard_samples_for_host(val)
         test = shard_samples_for_host(test)
     train_loader, val_loader, test_loader = _make_loaders(config, train, val, test)

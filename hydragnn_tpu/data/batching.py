@@ -313,7 +313,15 @@ class PaddedBatcher:
         tile_edges: int = 512,
         epoch_samples: Optional[int] = None,
     ):
-        self.samples = list(samples)
+        # a DistributedShuffleView (data/distshuffle.py) stays LAZY: its
+        # epoch-seeded global permutation changes which samples this rank
+        # serves, so static dims/plans must come from the GLOBAL dataset
+        self._view = samples if hasattr(samples, "set_epoch") else None
+        self.samples = samples if self._view is not None else list(samples)
+        # sizing set: every sample any epoch could hand this rank
+        sizing = (
+            self._view.dataset if self._view is not None else self.samples
+        )
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
@@ -324,11 +332,11 @@ class PaddedBatcher:
         # permutations so repeats are minimal
         self.epoch_samples = epoch_samples
         self.epoch = 0
-        self.dims = dims or compute_batch_dims(self.samples, batch_size)
+        self.dims = dims or compute_batch_dims(sizing, batch_size)
         if n_triplet is not None:
             self.n_triplet = n_triplet
         elif self.samples[0].trip_kj is not None:
-            self.n_triplet = compute_triplet_dim(self.samples, batch_size)
+            self.n_triplet = compute_triplet_dim(sizing, batch_size)
         else:
             self.n_triplet = None
 
@@ -344,7 +352,7 @@ class PaddedBatcher:
             n_edge = _round_up(n_edge + tile_edges, 8)
             self.dims = (n_node, n_edge, n_graph)
             max_deg = 1
-            for s in self.samples:
+            for s in sizing:
                 if s.num_edges:
                     d = np.bincount(s.edge_index[1]).max()
                     d2 = np.bincount(s.edge_index[0]).max()
@@ -354,7 +362,7 @@ class PaddedBatcher:
             # this dataset (ops/fused_gather.py); None -> unfused path
             from hydragnn_tpu.ops.fused_gather import static_window_width
 
-            max_g = max(s.num_nodes for s in self.samples)
+            max_g = max(s.num_nodes for s in sizing)
             W = static_window_width(max_g, tile_nodes)
             if W is not None and W > n_node:
                 W = None
@@ -362,6 +370,10 @@ class PaddedBatcher:
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+        if self._view is not None:
+            # cross-host global reshuffle: re-derive which GLOBAL samples
+            # this rank serves (reference DistributedSampler.set_epoch)
+            self._view.set_epoch(epoch)
 
     def __len__(self) -> int:
         n = (

@@ -36,6 +36,63 @@ Irreps = Tuple[Tuple[int, int], ...]  # ((mul, l), ...)
 IrrepsArray = Dict[int, jnp.ndarray]  # l -> [N, mul, 2l+1]
 
 
+def _disk_cache_dir():
+    """Persistent cache for derived constant tensors (CG / U-matrix): the
+    derivations are pure functions of small integer keys but cost seconds
+    to minutes of SVD work; caching them on disk makes every process after
+    the first start instantly (VERDICT r03 item 8).  Set
+    HYDRAGNN_TPU_CACHE=0 to disable, or =<dir> to relocate."""
+    import os
+
+    env = os.environ.get("HYDRAGNN_TPU_CACHE", "")
+    if env == "0":
+        return None
+    base = env or os.path.join(
+        os.path.expanduser("~"), ".cache", "hydragnn_tpu"
+    )
+    path = os.path.join(base, "v1")
+    try:
+        os.makedirs(path, exist_ok=True)
+        return path
+    except OSError:
+        return None
+
+
+def disk_cached(key: str, compute):
+    """np.load the tensor for ``key`` if cached, else compute + atomically
+    persist (rename; concurrent processes race benignly)."""
+    import os
+    import tempfile
+
+    # packaged pre-seeded tensors first (read-only, committed with the
+    # library): even a first-ever run skips the derivation SVDs
+    seeded = os.path.join(os.path.dirname(__file__), "_cache", key + ".npy")
+    if os.path.exists(seeded):
+        try:
+            return np.load(seeded, allow_pickle=False)
+        except Exception:
+            pass
+    d = _disk_cache_dir()
+    if d is None:
+        return compute()
+    fp = os.path.join(d, key + ".npy")
+    if os.path.exists(fp):
+        try:
+            return np.load(fp, allow_pickle=False)
+        except Exception:
+            pass
+    val = compute()
+    if val is not None:
+        try:
+            fd, tmp = tempfile.mkstemp(dir=d, suffix=".npy")
+            os.close(fd)
+            np.save(tmp, val)
+            os.replace(tmp, fp)
+        except OSError:
+            pass
+    return val
+
+
 def irreps_dim(irreps: Irreps) -> int:
     return sum(mul * (2 * l + 1) for mul, l in irreps)
 
@@ -205,6 +262,12 @@ def clebsch_gordan(l1: int, l2: int, l3: int) -> np.ndarray:
     (D1 x D2) C = C D3 for all rotations, in this library's SH basis."""
     if not (abs(l1 - l2) <= l3 <= l1 + l2):
         return np.zeros((2 * l1 + 1, 2 * l2 + 1, 2 * l3 + 1))
+    return disk_cached(
+        f"cg_{l1}_{l2}_{l3}", lambda: _clebsch_gordan_derive(l1, l2, l3)
+    )
+
+
+def _clebsch_gordan_derive(l1: int, l2: int, l3: int) -> np.ndarray:
     max_l = max(l1, l2, l3)
     _, Ds = _wigner_cache(max_l)
     d1, d2, d3 = 2 * l1 + 1, 2 * l2 + 1, 2 * l3 + 1

@@ -53,6 +53,19 @@ def u_matrix(
     target_l: int,
     nu: int,
 ) -> Optional[np.ndarray]:
+    from hydragnn_tpu.equivariant.core import disk_cached
+
+    key = "u_" + "-".join(map(str, coupling_ls)) + f"_{target_l}_{nu}"
+    return disk_cached(
+        key, lambda: _u_matrix_derive(coupling_ls, target_l, nu)
+    )
+
+
+def _u_matrix_derive(
+    coupling_ls: Tuple[int, ...],
+    target_l: int,
+    nu: int,
+) -> Optional[np.ndarray]:
     """Stacked intertwiner basis U[(2L+1,) d, ..., d, P] for
     (coupling)^{x nu} -> (target_l, natural parity); None if no path.
 
@@ -72,7 +85,15 @@ def u_matrix(
         paths.append((l, (-1) ** l, eye[off : off + 2 * l + 1].copy()))
         off += 2 * l + 1
 
+    lmax = max(coupling_ls)
     for _level in range(2, nu + 1):
+        # reachability bound: after this level there are (nu - level) more
+        # couplings, each moving l by at most lmax (triangle rule), so any
+        # intermediate with l > target + (nu - level) * lmax can never
+        # reach target_l and its (expensive, high-l CG) path is dead --
+        # pruning it is EXACT (same kept paths, same order) and removes
+        # the giant-SVD clebsch_gordan calls that made derivation slow
+        l_cap = target_l + (nu - _level) * lmax
         # stable sort by (l, parity): the reference sorts each recursion
         # level's output by irrep before coupling the next copy
         paths.sort(key=lambda t: (t[0], t[1]))
@@ -82,7 +103,7 @@ def u_matrix(
             off = 0
             for l in coupling_ls:
                 p = (-1) ** l
-                for lo in range(abs(ll - l), ll + l + 1):
+                for lo in range(abs(ll - l), min(ll + l, l_cap) + 1):
                     po = pl * p
                     if filter_mid and po != (-1) ** lo:
                         off_unused = None  # noqa: F841 (clarity)

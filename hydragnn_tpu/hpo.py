@@ -51,6 +51,94 @@ def apply_overrides(config: Dict, overrides: Dict[str, Any]) -> Dict:
     return cfg
 
 
+def _objective_from_info(info: Dict) -> float:
+    # best_val can be inf when the run is shorter than the checkpoint
+    # warmup — fall back to the observed history
+    val = float(info.get("best_val", float("inf")))
+    if not math.isfinite(val):
+        val = min(
+            (float(h["val"]) for h in info.get("history", ())),
+            default=float("inf"),
+        )
+    return val
+
+
+def _run_trial_inline(cfg: Dict) -> float:
+    import hydragnn_tpu
+
+    return _objective_from_info(hydragnn_tpu.run_training(cfg))
+
+
+class TrialPool:
+    """Concurrent HPO trial execution: each trial is its own OS process
+    (own JAX runtime), up to ``workers`` in flight — the analogue of the
+    reference HPO's parallel per-trial job launches
+    (``hydragnn/utils/hpo/deephyper.py:5-177``,
+    ``examples/qm9_hpo/qm9_deephyper_multi.py`` srun per trial).
+
+    Workers default to the CPU backend (a single-host pool cannot share
+    one TPU chip; the reference gives each trial its own GPUs the same
+    way).  Set ``env`` to override, e.g. per-worker device selection on a
+    multi-chip host.
+    """
+
+    def __init__(self, workers: int = 2, env: Optional[Dict] = None):
+        self.workers = max(1, int(workers))
+        self.env = env
+        self._live: Dict[int, Any] = {}  # id -> (Popen, outpath, tmpdir)
+        self._next = 0
+
+    def _spawn(self, cfg: Dict):
+        import subprocess
+        import sys
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="hpo_trial_")
+        inp, out = os.path.join(d, "in.json"), os.path.join(d, "out.json")
+        with open(inp, "w") as f:
+            json.dump(cfg, f)
+        env = dict(os.environ)
+        env.setdefault("JAX_PLATFORMS", "cpu")
+        env.setdefault("JAX_PLATFORM_NAME", "cpu")
+        if self.env:
+            env.update(self.env)
+        p = subprocess.Popen(
+            [sys.executable, "-m", "hydragnn_tpu.hpo", inp, out],
+            env=env,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.STDOUT,
+        )
+        return p, out, d
+
+    def submit(self, cfg: Dict) -> int:
+        tid = self._next
+        self._next += 1
+        self._live[tid] = self._spawn(cfg)
+        return tid
+
+    def n_live(self) -> int:
+        return len(self._live)
+
+    def wait_any(self) -> Tuple[int, float]:
+        """Block until some trial finishes; return (trial_id, objective).
+        A crashed worker reports objective inf."""
+        import time
+
+        while True:
+            for tid, (p, out, _d) in list(self._live.items()):
+                if p.poll() is None:
+                    continue
+                del self._live[tid]
+                val = float("inf")
+                try:
+                    with open(out) as f:
+                        val = float(json.load(f)["objective"])
+                except Exception:
+                    pass
+                return tid, val
+            time.sleep(0.2)
+
+
 def random_search(
     base_config: Dict,
     space: Dict[str, Any],
@@ -58,38 +146,52 @@ def random_search(
     seed: int = 0,
     objective: Optional[Callable[[Dict], float]] = None,
     log_path: Optional[str] = None,
+    workers: int = 1,
 ) -> Tuple[Dict[str, Any], float, List[Dict]]:
     """Returns (best_overrides, best_val, trial_log). Objective defaults to
-    best validation loss from run_training."""
-    import hydragnn_tpu
-
+    best validation loss from run_training.  ``workers > 1`` runs trials
+    concurrently in subprocesses (TrialPool); results are identical to the
+    sequential order (same seed stream, deterministic trials)."""
     rng = random.Random(seed)
-    trials = []
-    best, best_val = None, float("inf")
+    trial_cfgs = []
     for i in range(num_trials):
         overrides = sample_config(space, rng)
         cfg = apply_overrides(base_config, overrides)
         cfg.setdefault("Dataset", {})["name"] = (
             base_config.get("Dataset", {}).get("name", "hpo") + f"_trial{i}"
         )
-        if objective is not None:
-            val = float(objective(cfg))
-        else:
-            info = hydragnn_tpu.run_training(cfg)
-            # best_val can be inf when the run is shorter than the
-            # checkpoint warmup — fall back to the observed history
-            val = float(info.get("best_val", float("inf")))
-            if not math.isfinite(val):
-                val = min(
-                    (float(h["val"]) for h in info["history"]),
-                    default=float("inf"),
-                )
+        trial_cfgs.append((overrides, cfg))
+
+    results: Dict[int, float] = {}
+    if workers > 1 and objective is None:
+        pool = TrialPool(workers)
+        ids = {}
+        for i, (_, cfg) in enumerate(trial_cfgs):
+            while pool.n_live() >= pool.workers:
+                tid, val = pool.wait_any()
+                results[ids[tid]] = val
+            ids[pool.submit(cfg)] = i
+        while pool.n_live():
+            tid, val = pool.wait_any()
+            results[ids[tid]] = val
+    else:
+        for i, (_, cfg) in enumerate(trial_cfgs):
+            results[i] = (
+                float(objective(cfg))
+                if objective is not None
+                else _run_trial_inline(cfg)
+            )
+
+    trials = []
+    best, best_val = None, float("inf")
+    for i, (overrides, _) in enumerate(trial_cfgs):
+        val = results[i]
         trials.append({"trial": i, "overrides": overrides, "objective": val})
         if val < best_val:
             best, best_val = overrides, val
-        if log_path:
-            with open(log_path, "w") as f:
-                json.dump(trials, f, indent=1)
+    if log_path:
+        with open(log_path, "w") as f:
+            json.dump(trials, f, indent=1)
     return best, best_val, trials
 
 
@@ -100,19 +202,22 @@ def successive_halving(
     min_epochs: int = 4,
     eta: int = 2,
     seed: int = 0,
+    workers: int = 1,
+    objective: Optional[Callable[[Dict], float]] = None,
 ) -> Tuple[Dict[str, Any], float, List[Dict]]:
     """ASHA-style: train cohorts at increasing epoch budgets, keep the top
-    1/eta each rung."""
+    1/eta each rung.  ``workers > 1`` runs each rung's trials concurrently
+    in subprocess workers (TrialPool) — the rung promotion decisions are
+    identical to the sequential run."""
     import hydragnn_tpu
 
     rng = random.Random(seed)
     cohort = [sample_config(space, rng) for _ in range(num_trials)]
     epochs = min_epochs
     log = []
-    scores = {}
     rung = 0
     while len(cohort) > 1:
-        scored = []
+        cfgs = []
         for i, overrides in enumerate(cohort):
             cfg = apply_overrides(base_config, overrides)
             cfg["NeuralNetwork"]["Training"]["num_epoch"] = epochs
@@ -120,11 +225,33 @@ def successive_halving(
                 base_config.get("Dataset", {}).get("name", "hpo")
                 + f"_r{rung}t{i}"
             )
-            info = hydragnn_tpu.run_training(cfg)
-            val = float(info["history"][-1]["val"])
-            scored.append((val, overrides))
-            log.append({"rung": rung, "overrides": overrides, "objective": val,
-                        "epochs": epochs})
+            cfgs.append(cfg)
+
+        vals: Dict[int, float] = {}
+        if workers > 1 and objective is None:
+            pool = TrialPool(workers)
+            ids = {}
+            for i, cfg in enumerate(cfgs):
+                while pool.n_live() >= pool.workers:
+                    tid, val = pool.wait_any()
+                    vals[ids[tid]] = val
+                ids[pool.submit(cfg)] = i
+            while pool.n_live():
+                tid, val = pool.wait_any()
+                vals[ids[tid]] = val
+        else:
+            for i, cfg in enumerate(cfgs):
+                if objective is not None:
+                    vals[i] = float(objective(cfg))
+                else:
+                    info = hydragnn_tpu.run_training(cfg)
+                    vals[i] = float(info["history"][-1]["val"])
+
+        scored = []
+        for i, overrides in enumerate(cohort):
+            scored.append((vals[i], overrides))
+            log.append({"rung": rung, "overrides": overrides,
+                        "objective": vals[i], "epochs": epochs})
         scored.sort(key=lambda t: t[0])
         keep = max(1, len(scored) // eta)
         cohort = [o for _, o in scored[:keep]]
@@ -133,3 +260,26 @@ def successive_halving(
     best = cohort[0]
     best_val = min(e["objective"] for e in log if e["overrides"] == best)
     return best, best_val, log
+
+
+def _worker_main(argv):
+    """Subprocess trial entry: ``python -m hydragnn_tpu.hpo in.json
+    out.json`` — run one trial config through run_training and write
+    {"objective": val}.  The TrialPool parent launches these."""
+    inp, out = argv[0], argv[1]
+    with open(inp) as f:
+        cfg = json.load(f)
+    if "_hpo_stub_objective" in cfg:
+        # pool-mechanics hook (tests / dry runs): skip training entirely
+        val = float(cfg["_hpo_stub_objective"])
+    else:
+        val = _run_trial_inline(cfg)
+    with open(out + ".tmp", "w") as f:
+        json.dump({"objective": val}, f)
+    os.replace(out + ".tmp", out)
+
+
+if __name__ == "__main__":
+    import sys
+
+    _worker_main(sys.argv[1:])

@@ -1,0 +1,106 @@
+"""Cross-host per-epoch global reshuffle (data/distshuffle.py): the
+DistributedSampler.set_epoch + DDStore any-rank-fetch analogue
+(reference load_data.py:264-282, distdataset.py:229-343)."""
+
+import numpy as np
+
+from hydragnn_tpu.data.batching import PaddedBatcher
+from hydragnn_tpu.data.distshuffle import DistributedShuffleView
+from hydragnn_tpu.data.radius_graph import radius_graph
+from hydragnn_tpu.data.synthetic import deterministic_graph_data
+
+
+def _samples(n=20):
+    samples = deterministic_graph_data(n, seed=3)
+    for s in samples:
+        s.edge_index = radius_graph(s.pos, 2.0, 100)
+        s.y_graph = s.y_raw
+        s.y_node = s.x[:, :1]
+    return samples
+
+
+def test_partition_and_reshuffle():
+    """Each epoch: ranks partition the global dataset exactly; the
+    assignment changes between epochs; local lengths stay constant."""
+    data = list(range(23))
+    world = 3
+    views = [
+        DistributedShuffleView(data, world=world, rank=r) for r in range(world)
+    ]
+    assert [len(v) for v in views] == [8, 8, 7]  # constant across epochs
+    prev = None
+    for epoch in (0, 1, 5):
+        for v in views:
+            v.set_epoch(epoch)
+        ids = np.concatenate([v.global_indices() for v in views])
+        assert sorted(ids.tolist()) == list(range(23))
+        served = [sorted(v.global_indices().tolist()) for v in views]
+        if prev is not None:
+            assert served != prev  # cross-host movement between epochs
+        prev = served
+        # __getitem__ serves the permuted global samples
+        assert views[0][0] == data[views[0].global_indices()[0]]
+
+
+def test_cross_rank_movement():
+    """Samples actually MOVE between hosts across epochs (the property
+    shard_samples_for_host could never provide)."""
+    data = list(range(64))
+    v0 = DistributedShuffleView(data, world=2, rank=0)
+    e0 = set(v0.global_indices().tolist())
+    v0.set_epoch(1)
+    e1 = set(v0.global_indices().tolist())
+    assert e0 != e1
+    assert e0 - e1  # some epoch-0 samples left rank 0
+    assert e1 - e0  # and arrived from rank 1
+
+
+def test_padded_batcher_delegates_set_epoch():
+    """PaddedBatcher over a view: set_epoch re-permutes globally; the
+    union of both ranks' batches each epoch covers the global dataset;
+    dims are computed from the GLOBAL dataset (identical across ranks)."""
+    samples = _samples(12)
+    keys = {id(s): i for i, s in enumerate(samples)}
+    loaders = [
+        PaddedBatcher(
+            DistributedShuffleView(samples, world=2, rank=r), batch_size=2
+        )
+        for r in range(2)
+    ]
+    assert loaders[0].dims == loaders[1].dims
+    for epoch in (0, 3):
+        seen = []
+        for ld in loaders:
+            ld.set_epoch(epoch)
+            for chunk in ld.batch_indices(epoch):
+                for i in chunk:
+                    seen.append(keys[id(ld.samples[int(i)])])
+        assert sorted(seen) == list(range(12))
+
+
+def test_container_backed_view():
+    """GraphContainerDataset over two shard dirs + view: any rank reads
+    any sample lazily (the shared-FS DDStore get)."""
+    import tempfile
+
+    from hydragnn_tpu.data.container import (
+        GraphContainerDataset,
+        GraphContainerWriter,
+    )
+
+    samples = _samples(10)
+    with tempfile.TemporaryDirectory() as d:
+        GraphContainerWriter(f"{d}/shard0").write(samples[:6])
+        GraphContainerWriter(f"{d}/shard1").write(samples[6:])
+        ds = GraphContainerDataset([f"{d}/shard0", f"{d}/shard1"])
+        views = [
+            DistributedShuffleView(ds, world=2, rank=r) for r in range(2)
+        ]
+        views[0].set_epoch(2)
+        views[1].set_epoch(2)
+        got = []
+        for v in views:
+            for s in v:
+                got.append(float(np.asarray(s.pos).sum()))
+        want = [float(np.asarray(s.pos).sum()) for s in samples]
+        assert sorted(np.round(got, 5)) == sorted(np.round(want, 5))

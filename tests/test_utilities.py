@@ -67,6 +67,46 @@ def test_hpo_random_search_with_stub_objective():
     assert len(trials) == 5
 
 
+def test_hpo_parallel_pool_matches_sequential():
+    """TrialPool subprocess execution (VERDICT r03 item 7): 6 concurrent
+    stub trials return the same objectives/best as the sequential path —
+    same seed stream, results keyed by trial index not completion order."""
+    base = {"Dataset": {"name": "t"}}
+    space = {"_hpo_stub_objective": ("float", 0.0, 1.0)}
+    best_p, val_p, trials_p = random_search(
+        base, space, num_trials=6, seed=3, workers=3
+    )
+    best_s, val_s, trials_s = random_search(
+        base, space, num_trials=6, seed=3,
+        objective=lambda cfg: cfg["_hpo_stub_objective"],
+    )
+    assert best_p == best_s
+    assert abs(val_p - val_s) < 1e-12
+    assert [t["objective"] for t in trials_p] == [
+        t["objective"] for t in trials_s
+    ]
+
+
+def test_hpo_asha_parallel_rungs():
+    """successive_halving with workers: rung promotions identical to the
+    sequential stub run."""
+    from hydragnn_tpu.hpo import successive_halving
+
+    base = {"Dataset": {"name": "t"}, "NeuralNetwork": {"Training": {}}}
+    space = {"_hpo_stub_objective": ("float", 0.0, 1.0)}
+    best_p, val_p, log_p = successive_halving(
+        base, space, num_trials=4, min_epochs=1, seed=5, workers=2
+    )
+    best_s, val_s, log_s = successive_halving(
+        base, space, num_trials=4, min_epochs=1, seed=5,
+        objective=lambda cfg: cfg["_hpo_stub_objective"],
+    )
+    assert best_p == best_s and abs(val_p - val_s) < 1e-12
+    assert [e["objective"] for e in log_p] == [
+        e["objective"] for e in log_s
+    ]
+
+
 def test_lsms_formation_and_cutoff():
     samples = []
     rng = np.random.default_rng(1)
