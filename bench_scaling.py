@@ -149,14 +149,42 @@ def _bench_cfg():
     )
 
 
-def _worker(pid, nproc, coord, steps=8):
-    """2-process leg: each process drives 4 CPU devices of one 8-device
-    mesh with REAL process boundaries (jax.distributed) — the throughput
-    analogue of the lockstep mpirun -n 2 CI leg (VERDICT r02 item 3)."""
+def _pin_cores(cores):
+    """Pin this process (and its future XLA threads) to a core set."""
+    try:
+        os.sched_setaffinity(0, set(cores))
+        return sorted(os.sched_getaffinity(0))
+    except (AttributeError, OSError):
+        return None
+
+
+def _step_times(step, state, stacked, steps):
+    """Per-step wall times AFTER warmup, each synchronized by value
+    materialization (separates compile/dispatch from steady compute)."""
+    state, loss, _ = step(state, stacked)
+    _ = float(loss)  # warmup + compile barrier
+    times = []
+    for _ in range(steps):
+        t0 = time.perf_counter()
+        state, loss, _ = step(state, stacked)
+        _ = float(loss)
+        times.append(time.perf_counter() - t0)
+    return times
+
+
+def _worker(pid, nproc, coord, steps=8, ndev=4, cores=""):
+    """2-process leg: each process drives ``ndev`` CPU devices of one
+    2*ndev-device mesh with REAL process boundaries (jax.distributed) —
+    the throughput analogue of the lockstep mpirun -n 2 CI leg (VERDICT
+    r02 item 3).  ``cores`` ("0,1") pins the process to disjoint physical
+    cores so the two XLA thread pools cannot oversubscribe the host
+    (VERDICT r03 item 6)."""
+    if cores:
+        _pin_cores(int(c) for c in cores.split(","))
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_num_cpu_devices", 4)
+    jax.config.update("jax_num_cpu_devices", ndev)
     from hydragnn_tpu.parallel.runtime import setup_distributed
 
     setup_distributed(coordinator_address=coord, num_processes=nproc,
@@ -176,34 +204,67 @@ def _worker(pid, nproc, coord, steps=8):
     trainer = Trainer(model, {"type": "AdamW", "learning_rate": 1e-3})
     batch = build_bench_batch(n_graphs=8, nodes_per_graph=128, avg_degree=16)
     edges_per_device = int(np.asarray(batch.edge_mask).sum())
-    mesh = make_mesh(8)
+    mesh = make_mesh(nproc * ndev)
     step = make_dp_train_step(model, trainer.tx, mesh)
     state = put_replicated(trainer.init_state(batch), mesh)
-    stacked = shard_stacked_batch(stack_batches([batch] * 4), mesh)
-    state, loss, _ = step(state, stacked)
-    _ = float(loss)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, loss, _ = step(state, stacked)
-    _ = float(loss)
-    dt = (time.perf_counter() - t0) / steps
+    stacked = shard_stacked_batch(stack_batches([batch] * ndev), mesh)
+    times = _step_times(step, state, stacked, steps)
+    dt = sum(times) / len(times)
     if pid == 0:
-        print(json.dumps(
-            {"two_process_edges_per_s": round(edges_per_device * 8 / dt, 1)}
-        ))
+        print(json.dumps({
+            "edges_per_s": round(edges_per_device * nproc * ndev / dt, 1),
+            "step_times_ms": [round(t * 1e3, 2) for t in times],
+        }))
     jax.distributed.shutdown()
 
 
-def two_process_point():
+def single_process_point(ndev=4, pin=False):
+    """1-process reference at the same TOTAL device count, same subprocess
+    isolation, optional pin to the full core set — the denominator for a
+    fair 2-process efficiency."""
     s_ = socket.socket(); s_.bind(("127.0.0.1", 0))
     port = s_.getsockname()[1]; s_.close()
     env = dict(os.environ)
     for k in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME"):
         env.pop(k, None)
+    try:
+        ncores = len(os.sched_getaffinity(0))
+    except (AttributeError, OSError):
+        ncores = os.cpu_count() or 4
+    cset = ",".join(map(str, range(ncores))) if pin else ""
+    p = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--worker", "0", "1",
+         f"localhost:{port}", str(ndev), cset],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+    out = p.communicate(timeout=900)[0].decode()
+    for line in out.splitlines():
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no result from 1-process leg:\n{out[-2000:]}")
+
+
+def two_process_point(ndev=4, pin=False):
+    s_ = socket.socket(); s_.bind(("127.0.0.1", 0))
+    port = s_.getsockname()[1]; s_.close()
+    env = dict(os.environ)
+    for k in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME"):
+        env.pop(k, None)
+    try:
+        ncores = len(os.sched_getaffinity(0))
+    except (AttributeError, OSError):
+        ncores = os.cpu_count() or 4
+    half = max(1, ncores // 2)
+    csets = (
+        [",".join(map(str, range(0, half))),
+         ",".join(map(str, range(half, 2 * half)))]
+        if pin
+        else ["", ""]
+    )
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker", str(p),
-             "2", f"localhost:{port}"],
+             "2", f"localhost:{port}", str(ndev), csets[p]],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         )
         for p in range(2)
@@ -219,27 +280,47 @@ def two_process_point():
 if __name__ == "__main__":
     if "--worker" in sys.argv:
         i = sys.argv.index("--worker")
-        _worker(int(sys.argv[i + 1]), int(sys.argv[i + 2]), sys.argv[i + 3])
+        _worker(
+            int(sys.argv[i + 1]), int(sys.argv[i + 2]), sys.argv[i + 3],
+            ndev=int(sys.argv[i + 4]) if len(sys.argv) > i + 4 else 4,
+            cores=sys.argv[i + 5] if len(sys.argv) > i + 5 else "",
+        )
     else:
         results = main()
-        tp = two_process_point()
-        print(json.dumps(tp))
+        # the r03 two-process point sat at 0.68 efficiency unexplained
+        # (VERDICT r03 item 6).  The controlled experiment: matched TOTAL
+        # device count (4 = one per physical core on this host), same
+        # subprocess isolation for numerator and denominator, each
+        # 2-process leg pinned to DISJOINT cores vs unpinned, per-step
+        # wall-time distributions committed for all legs.
+        one = single_process_point(ndev=4, pin=True)
+        print(json.dumps({"one_proc_4dev": one}))
+        tp_pin = two_process_point(ndev=2, pin=True)
+        print(json.dumps({"two_proc_pinned": tp_pin}))
+        tp_unpin = two_process_point(ndev=2, pin=False)
+        print(json.dumps({"two_proc_unpinned": tp_unpin}))
         out = {
             "devices": {str(k): v for k, v in results.items()},
             "weak_scaling_efficiency": {
                 str(k): round(v / (results[1] * k), 4)
                 for k, v in results.items()
             },
-            "two_process": dict(
-                tp,
-                note="2 real jax.distributed processes x 4 CPU devices, "
-                "same 8-device mesh/program as the single-process point",
-                efficiency_vs_1proc_8dev=round(
-                    tp["two_process_edges_per_s"] / results[max(results)], 4
-                ) if results else None,
-            ),
+            "two_process": {
+                "note": "2 real jax.distributed processes x 2 CPU devices "
+                "vs 1 process x 4 devices (matched total, 1 device/core); "
+                "pinned = disjoint sched_setaffinity core sets per process",
+                "one_proc_4dev": one,
+                "two_proc_pinned": tp_pin,
+                "two_proc_unpinned": tp_unpin,
+                "efficiency_pinned": round(
+                    tp_pin["edges_per_s"] / one["edges_per_s"], 4
+                ),
+                "efficiency_unpinned": round(
+                    tp_unpin["edges_per_s"] / one["edges_per_s"], 4
+                ),
+            },
             "halo_comm": halo_comm_report(),
         }
-        with open("SCALING_r03.json", "w") as f:
+        with open("SCALING_r04.json", "w") as f:
             json.dump(out, f, indent=1)
         print("written SCALING_r03.json")

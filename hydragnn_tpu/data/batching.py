@@ -137,6 +137,27 @@ def _build_agg_plans(senders, receivers, edge_mask, n_node, TN, TE, MB, W=None):
                 agg_snd_win=sw["win_start"],
                 agg_meta=(TN, TE, MB, required, W),
             )
+            # dense per-tile adjacency blocks (linear segment-sum fast
+            # path, ops/fused_gather.py adjacency_segsum): A[t, n, j] =
+            # #edges (window node j -> tile node n).  uint8 with a
+            # saturation check — duplicate PBC image edges beyond 255
+            # per pair would overflow, so skip the fast path then.
+            def _adj(dst, other, win):
+                t = dst // TN
+                j = other - win[t]
+                A = np.zeros((n_tiles, TN, W), np.int32)
+                np.add.at(A, (t, dst - t * TN, j), 1)
+                return A.astype(np.uint8) if A.max() <= 255 else None
+
+
+            ra = _adj(
+                receivers[edge_mask], senders[edge_mask], rw["win_start"]
+            )
+            sa = _adj(
+                senders[edge_mask], receivers[edge_mask], sw["win_start"]
+            )
+            if ra is not None and sa is not None:
+                fields.update(agg_rcv_adj=ra, agg_snd_adj=sa)
     return fields
 
 

@@ -96,6 +96,14 @@ class GraphBatch:
     agg_rcv_win: Optional[jnp.ndarray] = None  # [T] int32
     agg_snd_lot: Optional[jnp.ndarray] = None  # [T, MB, TE] int32
     agg_snd_win: Optional[jnp.ndarray] = None  # [T] int32
+    # dense per-tile adjacency blocks (ops/fused_gather.py adjacency
+    # path): A[t, n, j] = multiplicity of edges (window node j -> tile
+    # node n); uint8, one per plan side.  The one-hot select/segment
+    # matrices of the LINEAR segment-sum paths are plan constants, so
+    # building them once here replaces per-block one-hot construction +
+    # two MXU passes per call with ONE [TN, W] x [W, F] matmul
+    agg_rcv_adj: Optional[jnp.ndarray] = None  # [T, TN, W] uint8
+    agg_snd_adj: Optional[jnp.ndarray] = None  # [T, TN, W] uint8
     rcv_count: Optional[jnp.ndarray] = None  # [N] real in-degree (float32)
     snd_count: Optional[jnp.ndarray] = None  # [N] real out-degree (float32)
     # (tile_nodes, tile_edges, max_blocks) -- static so jit sees constants

@@ -205,11 +205,27 @@ class PNAConv(nn.Module):
             has_window_plans,
         )
 
-        if has_window_plans(graph) and h_i.shape[-1] % 128 == 0:
+        if has_window_plans(graph):
             # all four aggregations in ONE fused kernel pass: h never
-            # exists in HBM (ops/fused_gather.py)
+            # exists in HBM (ops/fused_gather.py).  Narrow feature dims
+            # (layer 0: in_dim = input_dim, often 1) are padded to the
+            # 128-lane tile at NODE level — zero pad columns aggregate to
+            # zeros and are sliced off; without this, layer 0 fell back
+            # to the unfused edge-space path (~13 ms of the r03 PNA step,
+            # profiling/BYTES_pna_r3.json)
             cnt = jnp.maximum(graph.rcv_count, 1.0).astype(inv.dtype)[:, None]
+            F0 = h_i.shape[-1]
+            pad = (-F0) % 128
+            if pad:
+                h_i = jnp.pad(h_i, ((0, 0), (0, pad)))
+                h_j = jnp.pad(h_j, ((0, 0), (0, pad)))
+                if e_term is not None:
+                    e_term = jnp.pad(e_term, ((0, 0), (0, pad)))
             s, s2, mn, mx = fused_pna_aggregate(graph, h_i, h_j, e_term)
+            if pad:
+                s, s2, mn, mx = (
+                    a[:, :F0] for a in (s, s2, mn, mx)
+                )
             mean1, mean2 = s / cnt, s2 / cnt
         else:
             h = gather_nodes(graph, h_i, "receivers") + gather_nodes(

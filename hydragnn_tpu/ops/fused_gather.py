@@ -111,20 +111,130 @@ def static_window_width(
 # ---------------------------------------------------------------------------
 
 
-def _pick_tf(F, tile_features, n_wt, W, n_es, TE, R, itemsizes):
+def _pick_tf(F, tile_features, n_wt, W, n_es, TE, R, itemsizes, Rw=0):
     """Largest feature tile dividing F that keeps the kernel's VMEM
-    (window scratch + double-buffered edge streams + output block) under
-    budget."""
+    (window scratch + double-buffered edge streams + output block +
+    window-reduce accumulators) under budget."""
     cands = sorted(
         {t for t in (tile_features, 512, 256, 128) if F % t == 0},
         reverse=True,
     )
     win_b, es_b = itemsizes
     for tf in cands:
-        vmem = (n_wt * W * win_b + n_es * 2 * TE * es_b + R * 128 * 4) * tf
+        vmem = (
+            n_wt * W * win_b + n_es * 2 * TE * es_b + R * 128 * 4
+            + Rw * W * 2 * 4
+        ) * tf
         if vmem <= _VMEM_BUDGET:
             return tf
     return cands[-1] if cands else None
+
+
+def _combine_window(out_win, win_start, n_node, TN, W):
+    """[T*W, F] per-tile window partial sums -> [N, F] global sums: node n
+    collects from every tile whose window covers it (windows overlap by
+    construction; the candidate tile range around n // TN is static)."""
+    T = out_win.shape[0] // W
+    win_start = jnp.asarray(win_start)  # plan data arrives as host numpy
+    n = jnp.arange(n_node, dtype=jnp.int32)
+    # conservative candidate range: window starts sit within ~W of their
+    # tile's node range in every direction (incl. the n_node-W end clip),
+    # so +-2W/TN tiles around n//TN covers every window containing n
+    # (tests pin this against a dense reference)
+    K = 4 * (W // TN) + 3
+    tbase = n // TN - 2 * (W // TN) - 1
+    acc = jnp.zeros((n_node, out_win.shape[1]), jnp.float32)
+    for k in range(K):
+        t = tbase + k
+        t_ok = (t >= 0) & (t < T)
+        tc = jnp.clip(t, 0, T - 1)
+        off = n - win_start[tc]
+        ok = t_ok & (off >= 0) & (off < W)
+        rows = tc * W + jnp.clip(off, 0, W - 1)
+        acc = acc + jnp.where(
+            ok[:, None], out_win[rows].astype(jnp.float32), 0.0
+        )
+    return acc
+
+
+def adjacency_segsum_raw(
+    table: jnp.ndarray,  # [N, F]
+    adj: jnp.ndarray,  # [T, TN, W] uint8 multiplicities
+    win_start: jnp.ndarray,  # [T] int32
+    n_node: int,
+    meta: Tuple[int, ...],
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Linear neighbor segment-sum as ONE dense matmul per tile:
+
+    out[t*TN + n] = sum_j adj[t, n, j] * table[win_start[t] + j]
+
+    The one-hot gather/segment matrices of the per-block kernel are PLAN
+    CONSTANTS for a linear sum — precomputing their per-tile dense
+    product A [TN, W] on the host turns every gather->segsum call from
+    blocks x (W-wide select + segment matmul) into a single
+    [TN, W] x [W, TF] matmul: ~15x fewer MXU flops at the bench shapes
+    (profiling/BYTES_pna.json gather_segsum hot spot).  The TRANSPOSE of
+    this map is the same kernel on the mirrored plan's adjacency (sum by
+    the other endpoint), so both AD directions ride it."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    TN = meta[0]
+    W = int(meta[4])
+    T = adj.shape[0]
+    F = table.shape[1]
+    fp32 = table.dtype == jnp.float32
+    cands = [t for t in (512, 256, 128) if F % t == 0]
+    TF = cands[0] if cands else None
+    assert TF is not None, f"F={F} must be a multiple of 128"
+
+    def dot_fwd(a, v):  # [TN, W] x [W, TF]
+        return jax.lax.dot_general(
+            a, v.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def mm(a, v, dot):
+        # adj counts are bf16-exact (<= 255); fp32 values via hi/lo split
+        # (~2^-18 relative, the segment_sum_pallas convention)
+        if not fp32:
+            return dot(a, v)
+        hi = v.astype(jnp.bfloat16)
+        lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return dot(a, hi) + dot(a, lo)
+
+    def kernel(win_ref, adj_ref, tbl_hbm, o_ref, win_scr, sem):
+        t = pl.program_id(1)
+        f = pl.program_id(0)
+        start = pl.multiple_of(win_ref[t], 8)
+        dma = pltpu.make_async_copy(
+            tbl_hbm.at[pl.ds(start, W), pl.ds(f * TF, TF)], win_scr, sem
+        )
+        dma.start()
+        dma.wait()
+        a = adj_ref[0].astype(jnp.bfloat16)
+        o_ref[:, :] = mm(a, win_scr[:], dot_fwd).astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(F // TF, T),
+            in_specs=[
+                pl.BlockSpec((1, TN, W), lambda f, t, *_: (t, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((TN, TF), lambda f, t, *_: (t, f)),
+            scratch_shapes=[
+                pltpu.VMEM((W, TF), table.dtype),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_node, F), table.dtype),
+        interpret=interpret,
+    )(win_start, adj, table)
 
 
 def window_gather_reduce_raw(
@@ -139,7 +249,7 @@ def window_gather_reduce_raw(
     n_node: int,
     meta: Tuple[int, ...],  # (TN, TE, MB, required, W)
     combine: Callable,  # (win_vals, tile_vals, edge_vals) -> list of [TE, TF]
-    reduces: Sequence[Tuple[str, int]],  # ("sum"|"min"|"max", expr index)
+    reduces: Sequence[Tuple[str, int]],  # ("sum"|"min"|"max"|"wsum", expr i)
     out_dtype=jnp.float32,
     tile_features: int = 256,
     empty_value: float = 0.0,
@@ -152,6 +262,16 @@ def window_gather_reduce_raw(
     whose aligned id is -1 (padding / tile over-cover) see zeros from both
     gathers and arbitrary edge-stream rows -- combine must stay finite on
     them (they are excluded from every reduction).
+
+    ``("wsum", i)`` reduces expression i onto the WINDOW rows (the
+    NON-aligned endpoint) instead of the tile rows: per-tile [W, TF]
+    partials via the transposed window one-hot, combined across
+    overlapping tile windows on the XLA side (:func:`_combine_window`).
+    This turns "reduce the same per-edge value by the OTHER endpoint"
+    (e.g. the d/d h_j cotangent of a receiver-plan pass) into one extra
+    MXU pass instead of a whole second kernel on the mirrored plan with
+    all tables re-gathered through the window (the r03 ct_tj hot spot,
+    profiling/BYTES_pna_r3.json).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -167,11 +287,18 @@ def window_gather_reduce_raw(
     F = shapes[0][1]
     assert all(s[1] == F for s in shapes), f"feature dims differ: {shapes}"
     reduces = tuple(reduces)
-    R = len(reduces)
-    assert R >= 1
+    node_idx = [k for k, (op, _) in enumerate(reduces) if op != "wsum"]
+    win_idx = [k for k, (op, _) in enumerate(reduces) if op == "wsum"]
+    node_reduces = tuple(reduces[k] for k in node_idx)
+    win_reduces = tuple(reduces[k] for k in win_idx)
+    R = len(node_reduces)
+    Rw = len(win_reduces)
+    assert R + Rw >= 1
     win_b = max((a.dtype.itemsize for a in tables_win), default=4)
     es_b = max((a.dtype.itemsize for a in edge_streams), default=4)
-    TF = _pick_tf(F, tile_features, n_wt, W, n_es, TE, R, (win_b, es_b))
+    TF = _pick_tf(
+        F, tile_features, n_wt, W, n_es, TE, R, (win_b, es_b), Rw=Rw
+    )
     assert TF is not None, f"F={F} must be a multiple of 128"
     assert n_node % TN == 0 and W % 8 == 0 and W <= n_node
     if n_es:
@@ -182,14 +309,17 @@ def window_gather_reduce_raw(
                 for d in edge_streams
             ]
 
-    any_mm = any(op in ("min", "max") for op, _ in reduces)
+    any_mm = any(op in ("min", "max") for op, _ in node_reduces)
 
     def kernel(off_ref, nb_ref, win_ref, sid_ref, lot_ref, *rest):
         tile_refs = rest[:n_tt]
         win_hbm = rest[n_tt : n_tt + n_wt]
         es_hbm = rest[n_tt + n_wt : n_tt + n_wt + n_es]
-        o_ref = rest[n_tt + n_wt + n_es]
-        scr = rest[n_tt + n_wt + n_es + 1 :]
+        n_out = (1 if R else 0) + (1 if Rw else 0)
+        outs_ = rest[n_tt + n_wt + n_es : n_tt + n_wt + n_es + n_out]
+        o_ref = outs_[0] if R else None
+        ow_ref = outs_[-1] if Rw else None
+        scr = rest[n_tt + n_wt + n_es + n_out :]
         win_scr = scr[:n_wt]
         es_scr = scr[n_wt : n_wt + n_es]
         sems = scr[n_wt + n_es :]
@@ -200,12 +330,14 @@ def window_gather_reduce_raw(
         t = pl.program_id(1)
         nb = nb_ref[t]
 
-        for r, (op, _) in enumerate(reduces):
+        for r, (op, _) in enumerate(node_reduces):
             o_ref[:, r * TF : (r + 1) * TF] = jnp.full(
                 (TN, TF),
                 empty_value if op in ("min", "max") else 0.0,
                 o_ref.dtype,
             )
+        if Rw:
+            ow_ref[:, :] = jnp.zeros((W, Rw * TF), ow_ref.dtype)
 
         def win_dma(i):
             start = pl.multiple_of(win_ref[t], 8)
@@ -306,7 +438,7 @@ def window_gather_reduce_raw(
                         - 1.0
                     )  # [TE, 1]; -1 where row invalid
                     valid = sid_col >= 0.0
-                return oh_tile, wv, tv, ev, sid_col, valid
+                return oh_tile, oh_win, wv, tv, ev, sid_col, valid
 
             def scan_minmax(v, sid_col, valid):
                 """Segmented inclusive max/min scans; extrema sit at each
@@ -342,11 +474,11 @@ def window_gather_reduce_raw(
 
                 for i in range(n_es):
                     edma(i, b, b % 2).wait()
-                oh_tile, wv, tv, ev, sid_col, valid = block_ctx(b)
+                oh_tile, oh_win, wv, tv, ev, sid_col, valid = block_ctx(b)
                 exprs = combine(wv, tv, ev)
                 scans = {}
                 new = []
-                for (op, ei), acc in zip(reduces, accs):
+                for (op, ei), acc in zip(node_reduces, accs[:R]):
                     v = exprs[ei]
                     if op == "sum":
                         new.append(acc + sum_update(oh_tile, v))
@@ -364,22 +496,30 @@ def window_gather_reduce_raw(
                     has = has > 0.5
                     m = jnp.maximum if op == "max" else jnp.minimum
                     new.append(jnp.where(has, m(acc, out_b), acc))
+                for (_, ei), acc in zip(win_reduces, accs[R:]):
+                    # reduce onto the WINDOW rows: same one-hot, other side
+                    new.append(acc + sum_update(oh_win, exprs[ei]))
                 return tuple(new)
 
-            init_vals = {"sum": 0.0, "max": -_BIG, "min": _BIG}
+            init_vals = {"sum": 0.0, "max": -_BIG, "min": _BIG, "wsum": 0.0}
             accs = jax.lax.fori_loop(
                 0, nb, body,
                 tuple(
                     jnp.full((TN, TF), init_vals[op], jnp.float32)
-                    for op, _ in reduces
+                    for op, _ in node_reduces
+                )
+                + tuple(
+                    jnp.zeros((W, TF), jnp.float32) for _ in win_reduces
                 ),
             )
-            for r, ((op, _), a) in enumerate(zip(reduces, accs)):
+            for r, ((op, _), a) in enumerate(zip(node_reduces, accs[:R])):
                 if op == "max":
                     a = jnp.where(a > -_BIG / 2, a, empty_value)
                 if op == "min":
                     a = jnp.where(a < _BIG / 2, a, empty_value)
                 o_ref[:, r * TF : (r + 1) * TF] = a.astype(o_ref.dtype)
+            for rw, a in enumerate(accs[R:]):
+                ow_ref[:, rw * TF : (rw + 1) * TF] = a.astype(ow_ref.dtype)
 
     grid = (F // TF, n_tiles)
     in_specs = (
@@ -400,23 +540,53 @@ def window_gather_reduce_raw(
         scratch.append(pltpu.SemaphoreType.DMA((n_wt,)))
     if n_es:
         scratch.append(pltpu.SemaphoreType.DMA((n_es, 2)))
+    out_specs = []
+    out_shape = []
+    if R:
+        out_specs.append(pl.BlockSpec((TN, R * TF), lambda f, t, *_: (t, f)))
+        out_shape.append(jax.ShapeDtypeStruct((n_node, R * F), out_dtype))
+    if Rw:
+        out_specs.append(pl.BlockSpec((W, Rw * TF), lambda f, t, *_: (t, f)))
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_tiles * W, Rw * F), out_dtype)
+        )
+    if len(out_specs) == 1:
+        out_specs, out_shape = out_specs[0], out_shape[0]
+    else:
+        out_specs, out_shape = tuple(out_specs), tuple(out_shape)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,  # block_offsets, nblocks, win_start
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((TN, R * TF), lambda f, t, *_: (t, f)),
+            out_specs=out_specs,
             scratch_shapes=scratch,
         ),
-        out_shape=jax.ShapeDtypeStruct((n_node, R * F), out_dtype),
+        out_shape=out_shape,
         interpret=interpret,
     )(
         block_offsets, nblocks, win_start, sid_all, lot_all,
         *tables_tile, *tables_win, *edge_streams,
     )
-    packed = out.reshape(n_node, F // TF, R, TF)
-    return [packed[:, :, r, :].reshape(n_node, F) for r in range(R)]
+    results: List[Optional[jnp.ndarray]] = [None] * len(reduces)
+    if R:
+        out_node = out[0] if Rw else out
+        packed = out_node.reshape(n_node, F // TF, R, TF)
+        node_res = [
+            packed[:, :, r, :].reshape(n_node, F) for r in range(R)
+        ]
+        for k, r in zip(node_idx, node_res):
+            results[k] = r
+    if Rw:
+        out_w = out[-1] if R else out
+        wpacked = out_w.reshape(n_tiles * W, F // TF, Rw, TF)
+        for rw, k in enumerate(win_idx):
+            flat = wpacked[:, :, rw, :].reshape(n_tiles * W, F)
+            results[k] = _combine_window(
+                flat, win_start, n_node, TN, W
+            ).astype(out_dtype)
+    return results
 
 
 # ---------------------------------------------------------------------------
@@ -466,10 +636,40 @@ def gather_segsum(
     sender-side sum (src="receivers") -- the GIN/SAGE/MFC message+aggregate
     collapsed into one kernel with NO [E, F] intermediate.  Linear, so the
     transpose is the same kernel on the opposite plan; composes under AD
-    to any order (grad-of-grad safe)."""
+    to any order (grad-of-grad safe).
+
+    With adjacency blocks on the batch the call runs the dense per-tile
+    adjacency matmul (:func:`adjacency_segsum_raw`) — one MXU pass per
+    tile each direction; otherwise the generic windowed block kernel."""
     from jax.custom_derivatives import linear_call
 
     assert src in ("senders", "receivers")
+    if graph.agg_rcv_adj is not None and graph.agg_snd_adj is not None:
+        fadj, fwin = (
+            (graph.agg_rcv_adj, graph.agg_rcv_win)
+            if src == "senders"
+            else (graph.agg_snd_adj, graph.agg_snd_win)
+        )
+        tadj, twin = (
+            (graph.agg_snd_adj, graph.agg_snd_win)
+            if src == "senders"
+            else (graph.agg_rcv_adj, graph.agg_rcv_win)
+        )
+
+        def fwd_a(res, tbl):
+            return adjacency_segsum_raw(
+                tbl, fadj, fwin, graph.n_node, graph.agg_meta,
+                interpret=interpret,
+            )
+
+        def trans_a(res, ct):
+            return adjacency_segsum_raw(
+                ct, tadj, twin, graph.n_node, graph.agg_meta,
+                interpret=interpret,
+            )
+
+        return linear_call(fwd_a, trans_a, (), table)
+
     fplan = _rcv_plan(graph) if src == "senders" else _snd_plan(graph)
     tplan = _snd_plan(graph) if src == "senders" else _rcv_plan(graph)
 
@@ -517,7 +717,7 @@ def fused_minmax(
     and keeps outer higher-order tangents away from the raw kernels
     (linear_call residuals must be tangent-free)."""
     dt = h_i.dtype
-    rcv, snd = _rcv_plan(graph), _snd_plan(graph)
+    rcv = _rcv_plan(graph)
     has_e = edge_term is not None
 
     def _h(wv, tv, ev):
@@ -626,18 +826,34 @@ def fused_minmax(
             et_ = [res_[6]] if has_e else []
             cC, cD = cts  # wrt (min, max) tangents
             # fold the inverse-tie weights into the cotangents at NODE
-            # level so the sender-plan pass needs 5 window tables, not 7
-            tn_ = iv_mn * cC.astype(jnp.float32)
-            tx_ = iv_mx * cD.astype(jnp.float32)
+            # level so the sender-plan pass needs 5 window tables, not 7.
+            # Kept in the COMPUTE dtype: under bf16 training a fp32 table
+            # would cost a 3-way-split select (3 MXU passes instead of 1,
+            # profiling/BYTES_pna_r3.json ct_tj hot spot)
+            tn_ = (iv_mn * cC.astype(jnp.float32)).astype(dt)
+            tx_ = (iv_mx * cD.astype(jnp.float32)).astype(dt)
 
             def ct_h(h, mn_r, mx_r, c, d):
                 return jnp.where(h == mn_r, c, 0.0) + jnp.where(
                     h == mx_r, d, 0.0
                 )
 
-            # d/d ti: cotangent tables ride the TILE side (receiver
-            # aligned); the window only re-supplies h_j for h
-            ct_ti = _call(
+            # d/d ti needs NO kernel: h = h_i[rcv] + h_j[snd] shifts 1:1
+            # with h_i[n] on every incoming edge, so the receiver
+            # segment-sum of the tie-split weights telescopes to exactly
+            # ct (ties x 1/ties) wherever the segment is non-empty.
+            deg_ok = (graph.rcv_count > 0)[:, None]
+            ct_ti = jnp.where(
+                deg_ok, cC.astype(jnp.float32) + cD.astype(jnp.float32), 0.0
+            ).astype(dt)
+            # d/d tj in ONE receiver-plan kernel: per-edge ct_h with all
+            # five tables on the cheap TILE side, reduced onto the window
+            # rows (= senders) via the transposed window one-hot ("wsum")
+            # + the XLA overlap combine.  Replaces the r03 two-kernel
+            # form whose sender-plan leg re-gathered all five tables
+            # through the 6x-wider window (profiling/BYTES_pna_r3.json:
+            # 38% of the PNA step).
+            (ct_tj,) = _call(
                 graph, rcv,
                 tables_win=[h_j_],
                 tables_tile=[h_i_, mn_, mx_, tn_, tx_],
@@ -645,28 +861,9 @@ def fused_minmax(
                 combine=lambda wv, tv, ev: [
                     ct_h(_h(wv[:1], tv[:1], ev), *tv[1:])
                 ],
-                reduces=(("sum", 0),),
+                reduces=(("wsum", 0),),
                 out_dtype=dt, interpret=interpret,
-            )[0]
-            # d/d tj: the same per-edge value reduced BY SENDER -- the
-            # sender plan, receiver-side tables through the window
-            et_p = [res_[6][graph.agg_snd_perm]] if has_e else []
-            ct_tj = _call(
-                graph, snd,
-                tables_win=[h_i_, mn_, mx_, tn_, tx_],
-                tables_tile=[h_j_],
-                edge_streams=et_p,
-                combine=lambda wv, tv, ev: [
-                    ct_h(
-                        _round(
-                            wv[0] + tv[0] + (ev[0] if has_e else 0.0), dt
-                        ),
-                        *wv[1:],
-                    )
-                ],
-                reduces=(("sum", 0),),
-                out_dtype=dt, interpret=interpret,
-            )[0]
+            )
             if not has_e:
                 return tuple(
                     c for c, p in zip((ct_ti, ct_tj), present) if p

@@ -210,3 +210,66 @@ def test_neighbor_reduce_dispatch_cpu_fallback():
     x = jnp.asarray(rng.normal(size=(batch.n_node, 64)).astype(np.float32))
     out = neighbor_reduce(batch, x, "sum")
     assert float(jnp.abs(out - _ref_sum(batch, x)).max()) < 1e-5
+
+
+def test_wsum_window_reduce_matches_sender_segment_sum():
+    """("wsum", i) on the receiver plan == segment-sum BY SENDER of the
+    same per-edge value: pins the kernel's window accumulation AND the
+    XLA overlap combine (_combine_window candidate coverage) against a
+    dense reference."""
+    from hydragnn_tpu.ops.fused_gather import window_gather_reduce_raw
+
+    batch = _window_batch(n_graphs=6, n=48, deg=5, seed=9)
+    rng = np.random.default_rng(11)
+    F = 128
+    tbl = jnp.asarray(rng.normal(size=(batch.n_node, F)).astype(np.float32))
+
+    outs = window_gather_reduce_raw(
+        tables_win=[tbl], tables_tile=[], edge_streams=[],
+        block_offsets=batch.agg_rcv_off, nblocks=batch.agg_rcv_nb,
+        sid_all=batch.agg_rcv_sid, lot_all=batch.agg_rcv_lot,
+        win_start=batch.agg_rcv_win, n_node=batch.n_node,
+        meta=batch.agg_meta,
+        combine=lambda wv, tv, ev: [wv[0]],
+        reduces=(("sum", 0), ("wsum", 0)),
+        interpret=True,
+    )
+    rcv_sum, snd_sum = outs
+    h = jnp.where(batch.edge_mask[:, None], tbl[batch.senders], 0.0)
+    ref_rcv = jax.ops.segment_sum(h, batch.receivers, batch.n_node)
+    ref_snd = jax.ops.segment_sum(h, batch.senders, batch.n_node)
+    assert float(jnp.abs(rcv_sum - ref_rcv).max()) < 2e-3
+    assert float(jnp.abs(snd_sum - ref_snd).max()) < 2e-3
+
+
+def test_adjacency_blocks_and_segsum():
+    """Adjacency fast path: plan blocks reconstruct the edge multiset,
+    and adjacency_segsum (fwd + grad) matches the XLA reference."""
+    batch = _window_batch(n_graphs=5, n=40, deg=6, seed=3)
+    assert batch.agg_rcv_adj is not None and batch.agg_snd_adj is not None
+    TN = batch.agg_meta[0]
+    A = np.asarray(batch.agg_rcv_adj, np.int64)
+    snd = np.asarray(batch.senders)[np.asarray(batch.edge_mask)]
+    rcv = np.asarray(batch.receivers)[np.asarray(batch.edge_mask)]
+    win = np.asarray(batch.agg_rcv_win)
+    ref = np.zeros_like(A)
+    np.add.at(ref, (rcv // TN, rcv % TN, snd - win[rcv // TN]), 1)
+    assert (A == ref).all()
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(batch.n_node, 128)).astype(np.float32))
+    out = gather_segsum(batch, x, "senders", interpret=True)
+    assert float(jnp.abs(out - _ref_sum(batch, x)).max()) < 1e-3
+    ct = jnp.asarray(rng.normal(size=out.shape).astype(np.float32))
+    g = jax.grad(
+        lambda v: jnp.vdot(
+            gather_segsum(batch, v, "senders", interpret=True), ct
+        )
+    )(x)
+    g_ref = jax.grad(lambda v: jnp.vdot(_ref_sum(batch, v), ct))(x)
+    assert float(jnp.abs(g - g_ref).max()) < 1e-3
+    # mirrored direction
+    out_r = gather_segsum(batch, x, "receivers", interpret=True)
+    h = jnp.where(batch.edge_mask[:, None], x[batch.receivers], 0.0)
+    ref_r = jax.ops.segment_sum(h, batch.senders, batch.n_node)
+    assert float(jnp.abs(out_r - ref_r).max()) < 1e-3
