@@ -196,6 +196,12 @@ class StackConfig:
     # misc
     freeze_conv: bool = False
     initial_bias: Optional[float] = None
+    # set True when training DIFFERENTIATES THROUGH forces (-dE/dpos in
+    # the loss): ops with custom_vjp fast backwards switch to their
+    # jvp-composable variants so reverse-over-reverse stays exact
+    # (ops/mace_tp.py docstring); api.run_training sets it from the MLIP
+    # force weight
+    force_grad: bool = False
     conv_checkpointing: bool = False
     var_output: bool = False  # GaussianNLLLoss two-channel output
     # SyncBatchNorm analogue: mesh axis to psum batch statistics over when

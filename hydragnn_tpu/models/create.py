@@ -97,6 +97,12 @@ def stack_config_from_architecture(
         freeze_conv=bool(arch.get("freeze_conv_layers", False)),
         initial_bias=arch.get("initial_bias"),
         conv_checkpointing=bool(training.get("conv_checkpointing", False)),
+        # training differentiates THROUGH forces when the MLIP force term
+        # is weighted: kernels must stay jvp-composable (models/base.py)
+        force_grad=bool(
+            arch.get("enable_interatomic_potential", False)
+            and float(arch.get("force_weight", 0.0)) > 0.0
+        ),
         var_output=training.get("loss_function_type", "mse") == "GaussianNLLLoss",
     )
 

@@ -307,20 +307,10 @@ class GATv2Conv(nn.Module):
         x_r = x_r_flat.reshape(N, H, F)
         att = self.param("att", nn.initializers.lecun_normal(), (1, H, F))
 
-        # lane-aligned flat gathers (scatter-free backward via gather_nodes)
-        pre = (
-            gather_nodes(graph, x_l_flat, "senders")
-            + gather_nodes(graph, x_r_flat, "receivers")
-        ).reshape(-1, H, F)  # [E, H, F]
         ea = ctx.get("edge_attr")
         use_edge = self.edge_dim is not None and self.edge_dim > 0 and ea is not None
         if use_edge:
             lin_edge = nn.Dense(H * F, use_bias=False, name="lin_edge")
-            e_proj = lin_edge(ea.astype(inv.dtype)).reshape(-1, H, F)
-            pre = pre + e_proj
-        logits = jnp.sum(
-            jax.nn.leaky_relu(pre, self.negative_slope) * att, axis=-1
-        )  # [E, H]
 
         # self loops (add_self_loops=True): virtual edge (i,i); edge_attr fill
         # 'mean' = mean of incoming real edge attrs (PyG fill_value="mean")
@@ -335,42 +325,111 @@ class GATv2Conv(nn.Module):
             jax.nn.leaky_relu(self_pre, self.negative_slope) * att, axis=-1
         )  # [N, H]
 
-        # segment softmax over {incoming edges} U {self loop} per node
-        neg = jnp.finfo(logits.dtype).min
-        logits_m = jnp.where(graph.edge_mask[:, None], logits, neg)
-        edge_max = segment_max(logits_m, graph.receivers, N, mask=graph.edge_mask,
-                               empty_value=neg,
-                               indices_are_sorted=graph.edges_sorted)
-        m = jnp.maximum(edge_max, self_logits)  # [N, H]
-        exp_e = jnp.where(
-            graph.edge_mask[:, None],
-            jnp.exp(logits - m[graph.receivers]),
-            0.0,
-        )
-        exp_s = jnp.exp(self_logits - m)
-        denom = segment_sum(
-            exp_e, graph.receivers, N, indices_are_sorted=graph.edges_sorted
-        ) + exp_s  # [N, H]
-        denom = jnp.maximum(denom, 1e-16)
-        # normalized attention first, dropout after (PyG GATv2 semantics:
-        # alphas are dropped WITHOUT renormalizing the softmax)
-        alpha_e = exp_e / denom[graph.receivers]
-        alpha_s = exp_s / denom
-        if train and self.dropout > 0.0:
-            key = self.make_rng("dropout")
-            k1, k2 = jax.random.split(key)
-            keep = 1.0 - self.dropout
-            alpha_e = alpha_e * jax.random.bernoulli(k1, keep, alpha_e.shape) / keep
-            alpha_s = alpha_s * jax.random.bernoulli(k2, keep, alpha_s.shape) / keep
+        from hydragnn_tpu.ops.fused_gather import has_window_plans
 
-        xl_e = gather_nodes(graph, x_l_flat, "senders").reshape(-1, H, F)
-        num_flat = aggregate(
-            graph,
-            (alpha_e[..., None] * xl_e).reshape(-1, H * F),
-            "sum",
-            "receivers",
-        )
-        out = num_flat.reshape(N, H, F) + alpha_s[..., None] * x_l  # [N, H, F]
+        keys = None
+        if train and self.dropout > 0.0:
+            keys = jax.random.split(self.make_rng("dropout"))
+        keep = 1.0 - self.dropout
+
+        if has_window_plans(graph) and not use_edge:
+            # fused SDDMM -> online segment-softmax -> weighted aggregate
+            # (ops/gat_attention.py): logits computed in VMEM, no
+            # [E, H*F] HBM tensors; the self-loop term rides node-level.
+            from hydragnn_tpu.ops.gat_attention import (
+                _BIG,
+                _HP,
+                gat_edge_attention,
+            )
+
+            self_pad = jnp.concatenate(
+                [
+                    self_logits.astype(jnp.float32),
+                    jnp.full((N, _HP - H), -_BIG, jnp.float32),
+                ],
+                axis=-1,
+            )
+            mask_e = None
+            if keys is not None:
+                E = graph.n_edge
+                mask_e = jnp.zeros((E, _HP), x_l_flat.dtype)
+                mask_e = mask_e.at[:, :H].set(
+                    jax.random.bernoulli(keys[0], keep, (E, H)).astype(
+                        x_l_flat.dtype
+                    )
+                    / keep
+                )
+            out_edges, m_tot, d_tot = gat_edge_attention(
+                graph, x_l_flat, x_r_flat, att[0], self.negative_slope,
+                self_pad, mask_e,
+            )
+            alpha_s = jnp.exp(
+                self_logits.astype(jnp.float32) - m_tot[:, :H]
+            ) / d_tot[:, :H]
+            alpha_s = alpha_s.astype(x_l.dtype)
+            if keys is not None:
+                alpha_s = alpha_s * jax.random.bernoulli(
+                    keys[1], keep, alpha_s.shape
+                ) / keep
+            out = (
+                out_edges.reshape(N, H, F).astype(x_l.dtype)
+                + alpha_s[..., None] * x_l
+            )
+        else:
+            # lane-aligned flat gathers (scatter-free backward via
+            # gather_nodes)
+            pre = (
+                gather_nodes(graph, x_l_flat, "senders")
+                + gather_nodes(graph, x_r_flat, "receivers")
+            ).reshape(-1, H, F)  # [E, H, F]
+            if use_edge:
+                e_proj = lin_edge(ea.astype(inv.dtype)).reshape(-1, H, F)
+                pre = pre + e_proj
+            logits = jnp.sum(
+                jax.nn.leaky_relu(pre, self.negative_slope) * att, axis=-1
+            )  # [E, H]
+
+            # segment softmax over {incoming edges} U {self loop} per node
+            neg = jnp.finfo(logits.dtype).min
+            logits_m = jnp.where(graph.edge_mask[:, None], logits, neg)
+            edge_max = segment_max(
+                logits_m, graph.receivers, N, mask=graph.edge_mask,
+                empty_value=neg, indices_are_sorted=graph.edges_sorted,
+            )
+            m = jnp.maximum(edge_max, self_logits)  # [N, H]
+            exp_e = jnp.where(
+                graph.edge_mask[:, None],
+                jnp.exp(logits - m[graph.receivers]),
+                0.0,
+            )
+            exp_s = jnp.exp(self_logits - m)
+            denom = segment_sum(
+                exp_e, graph.receivers, N,
+                indices_are_sorted=graph.edges_sorted,
+            ) + exp_s  # [N, H]
+            denom = jnp.maximum(denom, 1e-16)
+            # normalized attention first, dropout after (PyG GATv2
+            # semantics: alphas are dropped WITHOUT renormalizing)
+            alpha_e = exp_e / denom[graph.receivers]
+            alpha_s = exp_s / denom
+            if keys is not None:
+                alpha_e = alpha_e * jax.random.bernoulli(
+                    keys[0], keep, alpha_e.shape
+                ) / keep
+                alpha_s = alpha_s * jax.random.bernoulli(
+                    keys[1], keep, alpha_s.shape
+                ) / keep
+
+            xl_e = gather_nodes(graph, x_l_flat, "senders").reshape(-1, H, F)
+            num_flat = aggregate(
+                graph,
+                (alpha_e[..., None] * xl_e).reshape(-1, H * F),
+                "sum",
+                "receivers",
+            )
+            out = (
+                num_flat.reshape(N, H, F) + alpha_s[..., None] * x_l
+            )  # [N, H, F]
 
         bias_dim = H * F if self.concat else F
         bias = self.param("bias", nn.initializers.zeros, (bias_dim,))

@@ -292,18 +292,42 @@ class MACELayer(nn.Module):
         # m-major TP: gather once in m-major layout, run the scalar-
         # unrolled product (weighted_tp_mmajor, numerically == WeightedTPConv),
         # aggregate the m-major messages — layout conversions happen at
-        # NODE granularity only (E/N ~ avg degree cheaper)
+        # NODE granularity only (E/N ~ avg degree cheaper).  With window
+        # plans the whole gather -> TP -> scatter collapses into the
+        # fused Pallas kernel (ops/mace_tp.py; reference hot spot
+        # blocks.py:372-404): no [E, Din] / [E, Dout] HBM intermediates.
         up_ls = sorted(up)
         up_m = flatten_mmajor(up, up_ls)
-        x_m = gather_nodes(graph, up_m, "senders")
         sh_flat = jnp.concatenate(
             [edge_sh[l] for l in range(cfg.max_ell + 1)], axis=-1
         )
-        mji_m, out_ls = weighted_tp_mmajor(
-            x_m, sh_flat, w,
-            self.node_irreps_in, cfg.max_ell, cfg.node_max_ell, mul,
-        )
-        agg_m = aggregate(graph, mji_m, "sum", "receivers")
+        from hydragnn_tpu.ops.fused_gather import has_window_plans
+
+        if has_window_plans(graph):
+            from hydragnn_tpu.equivariant.core import tp_instructions
+            from hydragnn_tpu.ops.mace_tp import weighted_tp_scatter
+
+            out_ls = sorted(
+                {
+                    l3
+                    for _, _, l3 in tp_instructions(
+                        self.node_irreps_in, cfg.max_ell, cfg.node_max_ell
+                    )
+                }
+            )
+            agg_m = weighted_tp_scatter(
+                graph, up_m, sh_flat.astype(up_m.dtype),
+                w.astype(up_m.dtype),
+                self.node_irreps_in, cfg.max_ell, cfg.node_max_ell, mul,
+                impl="jvp" if cfg.force_grad else "vjp",
+            )
+        else:
+            x_m = gather_nodes(graph, up_m, "senders")
+            mji_m, out_ls = weighted_tp_mmajor(
+                x_m, sh_flat, w,
+                self.node_irreps_in, cfg.max_ell, cfg.node_max_ell, mul,
+            )
+            agg_m = aggregate(graph, mji_m, "sum", "receivers")
         message: IrrepsArray = unflatten_mmajor(agg_m, out_ls, mul)
         mid_irreps = tuple((mul, l) for l in sorted(message))
         message = LinearIrreps(mid_irreps, self.hidden_irreps, name="linear_mid")(

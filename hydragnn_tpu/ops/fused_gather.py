@@ -102,7 +102,10 @@ def static_window_width(
     window start.  None when that exceeds ``cap`` (window gathers cost
     MXU time linear in W; past ~2k rows the fused path stops paying)."""
     need = tile_nodes + 2 * max(int(max_graph_nodes) - 1, 0) + 8
-    W = int(-(-need // 128) * 128)
+    # window ops cost ~linearly in W; round to the 8-row sublane tile
+    # only (128-rounding cost ~16% extra on every window matmul at the
+    # bench shapes)
+    W = int(-(-need // 8) * 8)
     return W if W <= cap else None
 
 
@@ -205,6 +208,11 @@ def adjacency_segsum_raw(
         lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         return dot(a, hi) + dot(a, lo)
 
+    # Mosaic has no u8->bf16 cast; convert once outside the kernel (XLA
+    # fuses it, and the per-call read is T*TN*W*2 bytes — trivial next to
+    # the matmul)
+    adj = adj.astype(jnp.bfloat16)
+
     def kernel(win_ref, adj_ref, tbl_hbm, o_ref, win_scr, sem):
         t = pl.program_id(1)
         f = pl.program_id(0)
@@ -214,8 +222,7 @@ def adjacency_segsum_raw(
         )
         dma.start()
         dma.wait()
-        a = adj_ref[0].astype(jnp.bfloat16)
-        o_ref[:, :] = mm(a, win_scr[:], dot_fwd).astype(o_ref.dtype)
+        o_ref[:, :] = mm(adj_ref[0], win_scr[:], dot_fwd).astype(o_ref.dtype)
 
     return pl.pallas_call(
         kernel,
@@ -253,6 +260,7 @@ def window_gather_reduce_raw(
     out_dtype=jnp.float32,
     tile_features: int = 256,
     empty_value: float = 0.0,
+    scan_dtype=jnp.float32,
     interpret: bool = False,
 ) -> List[jnp.ndarray]:
     """One fused pass over the edges of each node tile.  Returns one
@@ -443,22 +451,28 @@ def window_gather_reduce_raw(
             def scan_minmax(v, sid_col, valid):
                 """Segmented inclusive max/min scans; extrema sit at each
                 within-block segment's last row (the segment_minmax scan
-                of ops/pallas_segment.py)."""
-                xmx = jnp.where(valid, v, -_BIG)
-                xmn = jnp.where(valid, v, _BIG)
+                of ops/pallas_segment.py).  Runs in ``scan_dtype``:
+                callers whose values are bf16-rounded (the bf16 training
+                path) set bf16 and halve the VPU traffic of the 2*log TE
+                shift/compare/select steps — comparisons stay exact."""
+                sd = scan_dtype
+                big = jnp.asarray(_BIG, sd)
+                vv = v.astype(sd)
+                xmx = jnp.where(valid, vv, -big)
+                xmn = jnp.where(valid, vv, big)
                 s = 1
                 while s < TE:
                     pad_sid = jnp.full((s, 1), -2.0, jnp.float32)
                     sid_shift = jnp.concatenate([pad_sid, sid_col[:-s]], 0)
                     same = (sid_shift == sid_col) & valid
                     sh_mx = jnp.concatenate(
-                        [jnp.full((s, TF), -_BIG, jnp.float32), xmx[:-s]], 0
+                        [jnp.full((s, TF), -_BIG, sd), xmx[:-s]], 0
                     )
-                    xmx = jnp.maximum(xmx, jnp.where(same, sh_mx, -_BIG))
+                    xmx = jnp.maximum(xmx, jnp.where(same, sh_mx, -big))
                     sh_mn = jnp.concatenate(
-                        [jnp.full((s, TF), _BIG, jnp.float32), xmn[:-s]], 0
+                        [jnp.full((s, TF), _BIG, sd), xmn[:-s]], 0
                     )
-                    xmn = jnp.minimum(xmn, jnp.where(same, sh_mn, _BIG))
+                    xmn = jnp.minimum(xmn, jnp.where(same, sh_mn, big))
                     s *= 2
                 sid_next = jnp.concatenate(
                     [sid_col[1:], jnp.full((1, 1), -3.0, jnp.float32)], 0
@@ -477,31 +491,63 @@ def window_gather_reduce_raw(
                 oh_tile, oh_win, wv, tv, ev, sid_col, valid = block_ctx(b)
                 exprs = combine(wv, tv, ev)
                 scans = {}
+                done = {}
                 new = []
                 for (op, ei), acc in zip(node_reduces, accs[:R]):
                     v = exprs[ei]
                     if op == "sum":
                         new.append(acc + sum_update(oh_tile, v))
                         continue
+                    if op in ("mincnt", "maxcnt"):
+                        # tie count of the FINAL segment extremum, merged
+                        # online: when this block's extremum beats the
+                        # running one the count resets, on an exact tie
+                        # it adds (value op for the same ei must precede
+                        # in ``reduces`` — see fused_minmax).  The block
+                        # extremum comes back to rows via ONE one-hot
+                        # matmul of the already-reduced out_b (every
+                        # valid row's node has presence in this block),
+                        # not a second reverse scan.
+                        base = "min" if op == "mincnt" else "max"
+                        old_v, new_v, out_b, has = done[(base, ei)]
+                        bext = sel_exact(
+                            oh_tile, out_b.astype(scan_dtype), dot_sel
+                        )
+                        ind = (
+                            valid
+                            & (v.astype(scan_dtype) == bext.astype(scan_dtype))
+                        ).astype(jnp.float32)
+                        cnt_b = dot_red(oh_tile, ind)
+                        keep = (old_v == new_v).astype(jnp.float32)
+                        take = jnp.where(
+                            has & (out_b == new_v), 1.0, 0.0
+                        )
+                        new.append(acc * keep + cnt_b * take)
+                        continue
                     if ei not in scans:
-                        scans[ei] = scan_minmax(v, sid_col, valid)
-                    xmx, xmn, end_col = scans[ei]
+                        xmx_, xmn_, end_ = scan_minmax(v, sid_col, valid)
+                        # segment-presence is shared by min and max: one
+                        # MXU pass, not one per op
+                        h_ = dot_red(oh_tile, end_.astype(jnp.float32))
+                        scans[ei] = (xmx_, xmn_, end_, h_ > 0.5)
+                    xmx, xmn, end_col, has = scans[ei]
                     x = xmx if op == "max" else xmn
                     # only end rows carry nonzero values; the one-hot
                     # matmul then sums exactly one term per (node, block)
                     out_b = sel_exact(
                         oh_tile, jnp.where(end_col, x, 0.0), dot_red
                     )
-                    has = dot_red(oh_tile, end_col.astype(jnp.float32))
-                    has = has > 0.5
                     m = jnp.maximum if op == "max" else jnp.minimum
-                    new.append(jnp.where(has, m(acc, out_b), acc))
+                    upd = jnp.where(has, m(acc, out_b), acc)
+                    done[(op, ei)] = (acc, upd, out_b, has)
+                    new.append(upd)
                 for (_, ei), acc in zip(win_reduces, accs[R:]):
                     # reduce onto the WINDOW rows: same one-hot, other side
                     new.append(acc + sum_update(oh_win, exprs[ei]))
                 return tuple(new)
 
-            init_vals = {"sum": 0.0, "max": -_BIG, "min": _BIG, "wsum": 0.0}
+            init_vals = {"sum": 0.0, "max": -_BIG, "min": _BIG,
+                         "wsum": 0.0, "mincnt": 0.0, "maxcnt": 0.0}
             accs = jax.lax.fori_loop(
                 0, nb, body,
                 tuple(
@@ -729,16 +775,26 @@ def fused_minmax(
 
     @jax.custom_jvp
     def _mm(*args):
+        # extrema AND tie counts from ONE kernel pass: the counts merge
+        # online with the extrema accumulators (op "mincnt"/"maxcnt"),
+        # replacing the r03 separate ties kernel (2.6 ms/layer on the
+        # bench PNA, profiling/BYTES_pna.json).  fp32 out (counts exceed
+        # bf16's exact-integer range on dense graphs); extrema values are
+        # dt-rounded so the cast back is exact.
         h_i_, h_j_ = args[0], args[1]
         et = [args[2]] if has_e else []
         outs = _call(
             graph, rcv,
             tables_win=[h_j_], tables_tile=[h_i_], edge_streams=et,
             combine=lambda wv, tv, ev: [_h(wv, tv, ev)],
-            reduces=(("min", 0), ("max", 0)),
-            out_dtype=dt, interpret=interpret,
+            reduces=(("min", 0), ("max", 0),
+                     ("mincnt", 0), ("maxcnt", 0)),
+            out_dtype=jnp.float32,
+            scan_dtype=dt if dt == jnp.bfloat16 else jnp.float32,
+            interpret=interpret,
         )
-        return tuple(outs)  # (min, max)
+        return (outs[0].astype(dt), outs[1].astype(dt),
+                outs[2], outs[3])  # (min, max, ties_min, ties_max)
 
     def _mm_jvp(primals, tangents):
         from jax.custom_derivatives import linear_call
@@ -755,30 +811,14 @@ def fused_minmax(
             not isinstance(t, jax.custom_derivatives.SymbolicZero)
             for t in tangents
         )
-        mn, mx = _mm(*primals)
+        mn, mx, ties_mn, ties_mx = _mm(*primals)
         h_i_, h_j_ = sg(primals[0]), sg(primals[1])
         et = sg(primals[2]) if has_e else None
         mn_c, mx_c = sg(mn), sg(mx)
 
-        # tie counts against the written extrema (every operand already
-        # stop_gradient-ed: no tangent ever reaches this raw kernel)
-        ties = _call(
-            graph, rcv,
-            tables_win=[h_j_],
-            tables_tile=[h_i_, mn_c, mx_c],
-            edge_streams=[et] if has_e else [],
-            combine=lambda wv, tv, ev: (
-                lambda h: [
-                    (h == tv[1]).astype(jnp.float32),
-                    (h == tv[2]).astype(jnp.float32),
-                ]
-            )(_h(wv, tv, ev)),
-            reduces=(("sum", 0), ("sum", 1)),
-            out_dtype=jnp.float32, interpret=interpret,
-        )
-        # fp32 inverse-tie weights: exact through the 3-way-split selects
-        inv_mn = 1.0 / jnp.maximum(sg(ties[0]), 1.0)
-        inv_mx = 1.0 / jnp.maximum(sg(ties[1]), 1.0)
+        # fp32 inverse-tie weights from the primal's fused tie counts
+        inv_mn = 1.0 / jnp.maximum(sg(ties_mn), 1.0)
+        inv_mx = 1.0 / jnp.maximum(sg(ties_mx), 1.0)
 
         res = (h_i_, h_j_, mn_c, mx_c, inv_mn, inv_mx) + (
             (et,) if has_e else ()
@@ -889,16 +929,21 @@ def fused_minmax(
             cts_all = (ct_ti, ct_tj, ct_e.astype(dt))
             return tuple(c for c, p in zip(cts_all, present) if p)
 
+        prim_out = (mn, mx, ties_mn, ties_mx)
+        zt = (jnp.zeros_like(ties_mn), jnp.zeros_like(ties_mx))
         if not any(present):
-            return (mn, mx), (jnp.zeros_like(mn), jnp.zeros_like(mx))
+            return prim_out, (
+                jnp.zeros_like(mn), jnp.zeros_like(mx),
+            ) + zt
         tans = tuple(t for t, p in zip(tangents, present) if p)
         t_out = linear_call(tfwd, ttrans, res, tans)
-        return (mn, mx), tuple(t_out)
+        # tie counts are piecewise constant: zero tangent a.e.
+        return prim_out, tuple(t_out) + zt
 
     _mm.defjvp(_mm_jvp, symbolic_zeros=True)
 
     args = (h_i, h_j) + ((edge_term,) if has_e else ())
-    return _mm(*args)
+    return _mm(*args)[:2]
 
 
 # ---------------------------------------------------------------------------
