@@ -172,7 +172,7 @@ def _step_times(step, state, stacked, steps):
     return times
 
 
-def _worker(pid, nproc, coord, steps=8, ndev=4, cores=""):
+def _worker(pid, nproc, coord, steps=8, ndev=4, cores="", gpd=8):
     """2-process leg: each process drives ``ndev`` CPU devices of one
     2*ndev-device mesh with REAL process boundaries (jax.distributed) —
     the throughput analogue of the lockstep mpirun -n 2 CI leg (VERDICT
@@ -202,7 +202,9 @@ def _worker(pid, nproc, coord, steps=8, ndev=4, cores=""):
 
     model = create_model("GIN", _bench_cfg())
     trainer = Trainer(model, {"type": "AdamW", "learning_rate": 1e-3})
-    batch = build_bench_batch(n_graphs=8, nodes_per_graph=128, avg_degree=16)
+    batch = build_bench_batch(
+        n_graphs=gpd, nodes_per_graph=128, avg_degree=16
+    )
     edges_per_device = int(np.asarray(batch.edge_mask).sum())
     mesh = make_mesh(nproc * ndev)
     step = make_dp_train_step(model, trainer.tx, mesh)
@@ -218,7 +220,7 @@ def _worker(pid, nproc, coord, steps=8, ndev=4, cores=""):
     jax.distributed.shutdown()
 
 
-def single_process_point(ndev=4, pin=False):
+def single_process_point(ndev=4, pin=False, gpd=8):
     """1-process reference at the same TOTAL device count, same subprocess
     isolation, optional pin to the full core set — the denominator for a
     fair 2-process efficiency."""
@@ -234,7 +236,7 @@ def single_process_point(ndev=4, pin=False):
     cset = ",".join(map(str, range(ncores))) if pin else ""
     p = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--worker", "0", "1",
-         f"localhost:{port}", str(ndev), cset],
+         f"localhost:{port}", str(ndev), cset, str(gpd)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
     )
     out = p.communicate(timeout=900)[0].decode()
@@ -244,7 +246,7 @@ def single_process_point(ndev=4, pin=False):
     raise RuntimeError(f"no result from 1-process leg:\n{out[-2000:]}")
 
 
-def two_process_point(ndev=4, pin=False):
+def two_process_point(ndev=4, pin=False, gpd=8):
     s_ = socket.socket(); s_.bind(("127.0.0.1", 0))
     port = s_.getsockname()[1]; s_.close()
     env = dict(os.environ)
@@ -264,7 +266,7 @@ def two_process_point(ndev=4, pin=False):
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker", str(p),
-             "2", f"localhost:{port}", str(ndev), csets[p]],
+             "2", f"localhost:{port}", str(ndev), csets[p], str(gpd)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         )
         for p in range(2)
@@ -284,6 +286,7 @@ if __name__ == "__main__":
             int(sys.argv[i + 1]), int(sys.argv[i + 2]), sys.argv[i + 3],
             ndev=int(sys.argv[i + 4]) if len(sys.argv) > i + 4 else 4,
             cores=sys.argv[i + 5] if len(sys.argv) > i + 5 else "",
+            gpd=int(sys.argv[i + 6]) if len(sys.argv) > i + 6 else 8,
         )
     else:
         results = main()
@@ -293,12 +296,21 @@ if __name__ == "__main__":
         # subprocess isolation for numerator and denominator, each
         # 2-process leg pinned to DISJOINT cores vs unpinned, per-step
         # wall-time distributions committed for all legs.
-        one = single_process_point(ndev=4, pin=True)
+        # per-device batch 32 graphs: the reference's weak-scaling runs
+        # use 160+ graphs/device (SC25-job-weak.sh:76); a tiny batch
+        # leaves the constant cross-process collective-dispatch cost
+        # (~13 ms/step on the CPU gloo path, absent on real ICI)
+        # unamortized — the r03 0.68 "inefficiency" was exactly that
+        one = single_process_point(ndev=4, pin=True, gpd=32)
         print(json.dumps({"one_proc_4dev": one}))
-        tp_pin = two_process_point(ndev=2, pin=True)
+        tp_pin = two_process_point(ndev=2, pin=True, gpd=32)
         print(json.dumps({"two_proc_pinned": tp_pin}))
-        tp_unpin = two_process_point(ndev=2, pin=False)
+        tp_unpin = two_process_point(ndev=2, pin=False, gpd=32)
         print(json.dumps({"two_proc_unpinned": tp_unpin}))
+        small = two_process_point(ndev=2, pin=False, gpd=8)
+        one_small = single_process_point(ndev=4, pin=False, gpd=8)
+        print(json.dumps({"small_batch_two_proc": small,
+                          "small_batch_one_proc": one_small}))
         out = {
             "devices": {str(k): v for k, v in results.items()},
             "weak_scaling_efficiency": {
@@ -318,9 +330,18 @@ if __name__ == "__main__":
                 "efficiency_unpinned": round(
                     tp_unpin["edges_per_s"] / one["edges_per_s"], 4
                 ),
+                "small_batch": {
+                    "note": "8 graphs/device: the constant cross-process "
+                    "dispatch cost dominates — the r03 0.68 point",
+                    "one_proc": one_small,
+                    "two_proc": small,
+                    "efficiency": round(
+                        small["edges_per_s"] / one_small["edges_per_s"], 4
+                    ),
+                },
             },
             "halo_comm": halo_comm_report(),
         }
         with open("SCALING_r04.json", "w") as f:
             json.dump(out, f, indent=1)
-        print("written SCALING_r03.json")
+        print("written SCALING_r04.json")

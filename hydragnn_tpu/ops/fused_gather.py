@@ -790,7 +790,9 @@ def fused_minmax(
             reduces=(("min", 0), ("max", 0),
                      ("mincnt", 0), ("maxcnt", 0)),
             out_dtype=jnp.float32,
-            scan_dtype=dt if dt == jnp.bfloat16 else jnp.float32,
+            # NOTE: bf16 scan storage trips a Mosaic relayout bug on v5e
+            # (i1 mask tiling vs 16-row bf16 tiles, jax github-style
+            # "vector<512x128xi1>" relayout error) — scans stay fp32
             interpret=interpret,
         )
         return (outs[0].astype(dt), outs[1].astype(dt),

@@ -91,9 +91,11 @@ def _tp_eval_streamed(terms, mul, x_blk, sh_blk, w_blk, D_out, acc, red_fn,
                       transpose=False):
     """Scalar-unrolled product streamed per OUTPUT column block: each
     mul-wide output block's terms are summed into one [rows, mul] fp32
-    temporary which is immediately reduced and folded into ``acc`` —
-    keeps live VMEM to one block instead of the whole [rows, D] product
-    (the first kernel build exceeded the 16 MB scoped-vmem limit).
+    temporary which is immediately reduced; the reduced blocks concat to
+    the [out_rows, D] update — keeps live VMEM to one edge-block instead
+    of the whole [rows, D] product (the first kernel build exceeded the
+    16 MB scoped-vmem limit).  No in-place slice updates: Mosaic has no
+    scatter lowering, so the per-block results are concatenated.
 
     ``transpose=True`` runs d/d-x: swap the roles of the x and out
     columns (``x_blk`` is then the gathered output cotangent)."""
@@ -101,7 +103,11 @@ def _tp_eval_streamed(terms, mul, x_blk, sh_blk, w_blk, D_out, acc, red_fn,
     for c, xc, shc, wc, oc in terms:
         src, dst = (oc, xc) if transpose else (xc, oc)
         by_out.setdefault(dst, []).append((c, src, shc, wc))
-    for dst in sorted(by_out):
+    cols = []
+    for dst in range(0, D_out, mul):
+        if dst not in by_out:
+            cols.append(jnp.zeros((acc.shape[0], mul), jnp.float32))
+            continue
         a = None
         for c, src, shc, wc in by_out[dst]:
             t = (
@@ -111,8 +117,8 @@ def _tp_eval_streamed(terms, mul, x_blk, sh_blk, w_blk, D_out, acc, red_fn,
                 * w_blk[:, wc : wc + mul].astype(jnp.float32)
             )
             a = t if a is None else a + t
-        acc = acc.at[:, dst : dst + mul].add(red_fn(a))
-    return acc
+        cols.append(red_fn(a))
+    return acc + jnp.concatenate(cols, axis=-1)
 
 
 _SH_PAD = 128  # SH stream padded to one lane tile

@@ -4,7 +4,9 @@ paths run on one host (the analogue of the reference CI's
 
 Set ``HYDRAGNN_TPU_TEST_BACKEND=tpu`` to instead run on the real chip
 (enables the ``test_pallas_tpu.py`` kernel tests; everything else still
-passes but is slow through the tunnel — prefer ``-k pallas``).
+passes but is slow through the tunnel — prefer ``-k pallas``).  TPU runs
+MUST disable the default xdist parallelism (``-n 0``): the chip is
+single-tenant and concurrent workers wedge the tunnel.
 
 NOTE: this environment ships an 'axon' TPU PJRT plugin registered from a
 sitecustomize for EVERY python process; env vars (`JAX_PLATFORMS`,
