@@ -88,7 +88,11 @@ class TrialPool:
         self._live: Dict[int, Any] = {}  # id -> (Popen, outpath, tmpdir)
         self._next = 0
 
-    def _spawn(self, cfg: Dict):
+    def _spawn(self, cfg):
+        """``cfg`` is one trial config, or a LIST of configs the worker
+        runs sequentially in one process (chunking amortizes the JAX
+        startup + compile-cache warm-up per worker — without it, tiny
+        trials measured SLOWER than sequential on a small host)."""
         import subprocess
         import sys
         import tempfile
@@ -96,7 +100,9 @@ class TrialPool:
         d = tempfile.mkdtemp(prefix="hpo_trial_")
         inp, out = os.path.join(d, "in.json"), os.path.join(d, "out.json")
         with open(inp, "w") as f:
-            json.dump(cfg, f)
+            json.dump(
+                cfg if isinstance(cfg, list) else [cfg], f
+            )
         env = dict(os.environ)
         env.setdefault("JAX_PLATFORMS", "cpu")
         env.setdefault("JAX_PLATFORM_NAME", "cpu")
@@ -119,9 +125,10 @@ class TrialPool:
     def n_live(self) -> int:
         return len(self._live)
 
-    def wait_any(self) -> Tuple[int, float]:
-        """Block until some trial finishes; return (trial_id, objective).
-        A crashed worker reports objective inf."""
+    def wait_any(self):
+        """Block until some submission finishes; return (id, objectives
+        list — one per config in the submission).  A crashed worker
+        reports inf for every slot."""
         import time
 
         while True:
@@ -129,14 +136,40 @@ class TrialPool:
                 if p.poll() is None:
                     continue
                 del self._live[tid]
-                val = float("inf")
+                vals = None
                 try:
                     with open(out) as f:
-                        val = float(json.load(f)["objective"])
+                        vals = [
+                            float(v) for v in json.load(f)["objectives"]
+                        ]
                 except Exception:
                     pass
-                return tid, val
+                return tid, vals
             time.sleep(0.2)
+
+    def run_chunked(self, cfgs: List[Dict]) -> Dict[int, float]:
+        """Run all configs split into ``workers`` contiguous chunks, one
+        persistent subprocess each; returns {config index: objective}."""
+        chunks = []
+        k, m = divmod(len(cfgs), self.workers)
+        start = 0
+        for i in range(self.workers):
+            size = k + (1 if i < m else 0)
+            if size:
+                chunks.append(list(range(start, start + size)))
+            start += size
+        ids = {}
+        for idxs in chunks:
+            ids[self.submit([cfgs[i] for i in idxs])] = idxs
+        results: Dict[int, float] = {}
+        while self.n_live():
+            tid, vals = self.wait_any()
+            idxs = ids[tid]
+            if vals is None or len(vals) != len(idxs):
+                vals = [float("inf")] * len(idxs)
+            for i, v in zip(idxs, vals):
+                results[i] = v
+        return results
 
 
 def random_search(
@@ -164,16 +197,9 @@ def random_search(
 
     results: Dict[int, float] = {}
     if workers > 1 and objective is None:
-        pool = TrialPool(workers)
-        ids = {}
-        for i, (_, cfg) in enumerate(trial_cfgs):
-            while pool.n_live() >= pool.workers:
-                tid, val = pool.wait_any()
-                results[ids[tid]] = val
-            ids[pool.submit(cfg)] = i
-        while pool.n_live():
-            tid, val = pool.wait_any()
-            results[ids[tid]] = val
+        results = TrialPool(workers).run_chunked(
+            [cfg for _, cfg in trial_cfgs]
+        )
     else:
         for i, (_, cfg) in enumerate(trial_cfgs):
             results[i] = (
@@ -229,16 +255,7 @@ def successive_halving(
 
         vals: Dict[int, float] = {}
         if workers > 1 and objective is None:
-            pool = TrialPool(workers)
-            ids = {}
-            for i, cfg in enumerate(cfgs):
-                while pool.n_live() >= pool.workers:
-                    tid, val = pool.wait_any()
-                    vals[ids[tid]] = val
-                ids[pool.submit(cfg)] = i
-            while pool.n_live():
-                tid, val = pool.wait_any()
-                vals[ids[tid]] = val
+            vals = TrialPool(workers).run_chunked(cfgs)
         else:
             for i, cfg in enumerate(cfgs):
                 if objective is not None:
@@ -264,18 +281,22 @@ def successive_halving(
 
 def _worker_main(argv):
     """Subprocess trial entry: ``python -m hydragnn_tpu.hpo in.json
-    out.json`` — run one trial config through run_training and write
-    {"objective": val}.  The TrialPool parent launches these."""
+    out.json`` — run a CHUNK of trial configs sequentially through
+    run_training in this one process (shared JAX startup/compile cache)
+    and write {"objectives": [...]}.  The TrialPool parent launches
+    these."""
     inp, out = argv[0], argv[1]
     with open(inp) as f:
-        cfg = json.load(f)
-    if "_hpo_stub_objective" in cfg:
-        # pool-mechanics hook (tests / dry runs): skip training entirely
-        val = float(cfg["_hpo_stub_objective"])
-    else:
-        val = _run_trial_inline(cfg)
+        cfgs = json.load(f)
+    vals = []
+    for cfg in cfgs:
+        if "_hpo_stub_objective" in cfg:
+            # pool-mechanics hook (tests / dry runs): skip training
+            vals.append(float(cfg["_hpo_stub_objective"]))
+        else:
+            vals.append(_run_trial_inline(cfg))
     with open(out + ".tmp", "w") as f:
-        json.dump({"objective": val}, f)
+        json.dump({"objectives": vals}, f)
     os.replace(out + ".tmp", out)
 
 

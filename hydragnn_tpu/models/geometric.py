@@ -48,7 +48,15 @@ def edge_vectors_lengths(
     (force training differentiates through here) never hits the NaN at
     ||v|| = 0; their contributions are masked out downstream anyway.
     """
-    vec = pos[graph.receivers] - pos[graph.senders]
+    # gather_nodes (not raw indexing): the transpose of pos[idx] is an
+    # XLA scatter-add of [E, 3] rows — serialized on TPU and hit once per
+    # AD order (force training stacks four of them; ~25% of the r03
+    # EGNN-force step, profiling/BYTES_egnn_force.json).  gather_nodes
+    # pads to the lane tile and transposes through the sorted Pallas
+    # segment-sum, composing to any order via linear_call.
+    vec = gather_nodes(graph, pos, "receivers") - gather_nodes(
+        graph, pos, "senders"
+    )
     if graph.edge_shifts is not None:
         vec = vec + graph.edge_shifts.astype(vec.dtype)
     unit = jnp.zeros_like(vec).at[:, 0].set(1.0)

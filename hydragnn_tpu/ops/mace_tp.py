@@ -90,12 +90,12 @@ def _rcv_plan(g):
 def _tp_eval_streamed(terms, mul, x_blk, sh_blk, w_blk, D_out, acc, red_fn,
                       transpose=False):
     """Scalar-unrolled product streamed per OUTPUT column block: each
-    mul-wide output block's terms are summed into one [rows, mul] fp32
-    temporary which is immediately reduced; the reduced blocks concat to
-    the [out_rows, D] update — keeps live VMEM to one edge-block instead
-    of the whole [rows, D] product (the first kernel build exceeded the
-    16 MB scoped-vmem limit).  No in-place slice updates: Mosaic has no
-    scatter lowering, so the per-block results are concatenated.
+    mul-wide output block's terms sum into one [rows, mul] fp32
+    temporary, immediately reduced and accumulated into the fp32 VMEM
+    scratch ``acc`` by a STATIC slice read-modify-write.  ``sh_blk`` /
+    ``w_blk`` are column-slice LOADERS over the stream scratch refs —
+    whole-block loads (and a giant fori carry) held multi-MB tensors in
+    vector registers and blew Mosaic's 16 MB scoped-vmem budget twice.
 
     ``transpose=True`` runs d/d-x: swap the roles of the x and out
     columns (``x_blk`` is then the gathered output cotangent)."""
@@ -103,22 +103,17 @@ def _tp_eval_streamed(terms, mul, x_blk, sh_blk, w_blk, D_out, acc, red_fn,
     for c, xc, shc, wc, oc in terms:
         src, dst = (oc, xc) if transpose else (xc, oc)
         by_out.setdefault(dst, []).append((c, src, shc, wc))
-    cols = []
-    for dst in range(0, D_out, mul):
-        if dst not in by_out:
-            cols.append(jnp.zeros((acc.shape[0], mul), jnp.float32))
-            continue
+    for dst in sorted(by_out):
         a = None
         for c, src, shc, wc in by_out[dst]:
-            t = (
-                c * sh_blk[:, shc : shc + 1].astype(jnp.float32)
-            ) * (
+            t = (c * sh_blk(shc)) * (
                 x_blk[:, src : src + mul].astype(jnp.float32)
-                * w_blk[:, wc : wc + mul].astype(jnp.float32)
+                * w_blk(wc).astype(jnp.float32)
             )
             a = t if a is None else a + t
-        cols.append(red_fn(a))
-    return acc + jnp.concatenate(cols, axis=-1)
+        # accumulate IN the fp32 VMEM scratch ref (static slice: a plain
+        # read-modify-write, no scatter, no giant fori carry in vregs)
+        acc[:, dst : dst + mul] += red_fn(a)
 
 
 _SH_PAD = 128  # SH stream padded to one lane tile
@@ -184,11 +179,11 @@ def mace_tp_scatter_raw(
 
     def kernel(off_ref, nb_ref, win_ref, sid_ref, lot_ref,
                tbl_hbm, sh_hbm, w_hbm, o_ref,
-               tbl_scr, sh_scr, w_scr, sem_tbl, sem_es):
+               tbl_scr, sh_scr, w_scr, acc_scr, sem_tbl, sem_es):
         t = pl.program_id(0)
         nblk = nb_ref[t]
 
-        o_ref[:, :] = jnp.zeros(o_ref.shape, o_ref.dtype)
+        acc_scr[:, :] = jnp.zeros(acc_scr.shape, acc_scr.dtype)
 
         def tbl_dma():
             if ct_mode:
@@ -214,7 +209,7 @@ def mace_tp_scatter_raw(
             es_dma(w_hbm, w_scr, 0, 0, sem_es.at[1]).start()
             tbl_dma().wait()
 
-            def body(b, acc):
+            def body(b, _):
                 @pl.when(b + 1 < nblk)
                 def _pf():
                     es_dma(
@@ -234,11 +229,14 @@ def mace_tp_scatter_raw(
                 oh_win = (rows_w == lot_b).astype(jnp.bfloat16)
 
                 def sel(oh, vals):  # [K, TE]^T x [K, D] -> [TE, D] bf16
-                    return jax.lax.dot_general(
+                    # Mosaic rejects bf16 matmul OUTPUT: accumulate fp32,
+                    # cast after (one-hot selection of bf16 values: exact)
+                    r = jax.lax.dot_general(
                         oh, vals.astype(jnp.bfloat16),
                         dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.bfloat16,
+                        preferred_element_type=jnp.float32,
                     )
+                    return r.astype(jnp.bfloat16)
 
                 def red(oh, vals):  # [K, TE] x [TE, D] -> [K, D]
                     return jax.lax.dot_general(
@@ -247,26 +245,36 @@ def mace_tp_scatter_raw(
                         preferred_element_type=jnp.float32,
                     )
 
-                sh_blk = sh_scr[b % 2][:]
-                w_blk = w_scr[b % 2][:]
+                # per-term SLICE loads from the stream scratch (whole-
+                # block loads held the [TE, P*mul] tensors in vregs and
+                # blew the scoped-vmem budget)
+                slot = b % 2
+
+                def sh_load(col):
+                    return sh_scr[slot, :, col : col + 1].astype(
+                        jnp.float32
+                    )
+
+                def w_load(col):
+                    return w_scr[slot, :, col : col + mul]
+
                 if ct_mode:
                     ct_blk = sel(oh_tile, tbl_scr[:])  # [TE, Dout] bf16
-                    return _tp_eval_streamed(
-                        terms, mul, ct_blk, sh_blk, w_blk, Din, acc,
+                    _tp_eval_streamed(
+                        terms, mul, ct_blk, sh_load, w_load, Din, acc_scr,
                         lambda a: red(oh_win, a), transpose=True,
                     )
-                x_blk = sel(oh_win, tbl_scr[:])  # [TE, Din] bf16
-                return _tp_eval_streamed(
-                    terms, mul, x_blk, sh_blk, w_blk, Dout, acc,
-                    lambda a: red(oh_tile, a),
-                )
+                else:
+                    x_blk = sel(oh_win, tbl_scr[:])  # [TE, Din] bf16
+                    _tp_eval_streamed(
+                        terms, mul, x_blk, sh_load, w_load, Dout, acc_scr,
+                        lambda a: red(oh_tile, a),
+                    )
+                return 0
 
-            acc0 = jnp.zeros(
-                (W if ct_mode else TN, Din if ct_mode else Dout),
-                jnp.float32,
-            )
-            out = jax.lax.fori_loop(0, nblk, body, acc0)
-            o_ref[:, :] = out.astype(o_ref.dtype)
+            jax.lax.fori_loop(0, nblk, body, 0)
+
+        o_ref[:, :] = acc_scr[:, :].astype(o_ref.dtype)
 
     tbl_rows = TN if ct_mode else W
     out_rows, out_cols = (W, Din) if ct_mode else (TN, Dout)
@@ -285,6 +293,7 @@ def mace_tp_scatter_raw(
             pltpu.VMEM((tbl_rows, up_m.shape[1]), up_m.dtype),
             pltpu.VMEM((2, TE, Sw), sh_p.dtype),
             pltpu.VMEM((2, TE, Pw), w_p.dtype),
+            pltpu.VMEM((out_rows, out_cols), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -295,6 +304,12 @@ def mace_tp_scatter_raw(
         out_shape=jax.ShapeDtypeStruct(
             (T * out_rows, out_cols),
             in_dtype if not ct_mode else jnp.float32,
+        ),
+        # the unrolled per-term TP keeps ~1.5 MB more live vector state
+        # than Mosaic's default 16 MB scoped budget; v5e VMEM accommodates
+        # the raised cap
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=28 * 2**20
         ),
         interpret=interpret,
     )(off, nb, win, sid, lot, up_m, sh_p, w_p)
@@ -325,10 +340,15 @@ def _ct_edge_xla(graph, ct, up_m, sh_flat, w_flat, terms, mul, P, S):
     SH backward), so this is compulsory edge traffic."""
     from hydragnn_tpu.ops.aggregate import gather_nodes
 
-    x_e = gather_nodes(graph, up_m, "senders").astype(jnp.float32)
-    ct_e = gather_nodes(graph, ct, "receivers").astype(jnp.float32)
-    sh_f = sh_flat.astype(jnp.float32)
-    w_f = w_flat.astype(jnp.float32)
+    # edge-space compute dtype follows the inputs: the r04 kernel round
+    # left these legs as the MACE step's top cost (fp32 edge tensors,
+    # profiling/BYTES_mace.json) — bf16 halves the traffic and matches
+    # mixed-precision training gradients
+    et = up_m.dtype
+    x_e = gather_nodes(graph, up_m, "senders").astype(et)
+    ct_e = gather_nodes(graph, ct.astype(et), "receivers")
+    sh_f = sh_flat.astype(et)
+    w_f = w_flat.astype(et)
     E = x_e.shape[0]
     ct_w_cols: Dict[int, jnp.ndarray] = {}
     ct_sh_cols: Dict[int, jnp.ndarray] = {}
@@ -337,11 +357,15 @@ def _ct_edge_xla(graph, ct, up_m, sh_flat, w_flat, terms, mul, P, S):
         cto = ct_e[:, oc : oc + mul]
         xct = xi * cto
         sh_col = sh_f[:, shc : shc + 1]
-        ct_w_cols[wc] = ct_w_cols.get(wc, 0.0) + (c * sh_col) * xct
-        contrib = c * jnp.sum(xct * w_f[:, wc : wc + mul], axis=1,
-                              keepdims=True)
+        ct_w_cols[wc] = ct_w_cols.get(wc, 0.0) + (
+            jnp.asarray(c, et) * sh_col
+        ) * xct
+        contrib = c * jnp.sum(
+            (xct * w_f[:, wc : wc + mul]).astype(jnp.float32),
+            axis=1, keepdims=True,
+        )
         ct_sh_cols[shc] = ct_sh_cols.get(shc, 0.0) + contrib
-    zero_w = jnp.zeros((E, mul), jnp.float32)
+    zero_w = jnp.zeros((E, mul), et)
     ct_w = jnp.concatenate(
         [ct_w_cols.get(p * mul, zero_w) for p in range(P)], axis=-1
     )

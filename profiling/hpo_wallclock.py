@@ -1,0 +1,69 @@
+"""HPO trial-parallelism wall-clock evidence (VERDICT r03 item 7).
+
+Runs the same 8-trial random search twice over a small unit-lattice
+config — sequentially in-process, then with a 4-subprocess TrialPool —
+and writes HPO_r04.json with both wall-clocks and the per-trial
+objectives (which must be identical: same seed stream, deterministic
+trials).  CPU-only; ~4x speedup expected on a 4-core host minus the
+per-process JAX startup/compile overhead.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from hydragnn_tpu.hpo import random_search
+
+    with open("examples/unit_lattice/config.json") as f:
+        base = json.load(f)
+    base["Dataset"]["num_samples"] = 96
+    base["NeuralNetwork"]["Training"]["num_epoch"] = 2
+    base.setdefault("Visualization", {})["create_plots"] = False
+
+    space = {
+        "NeuralNetwork.Architecture.hidden_dim": [16, 32],
+        "NeuralNetwork.Architecture.num_conv_layers": ("int", 2, 3),
+        "NeuralNetwork.Training.Optimizer.learning_rate": ("log", 1e-3, 3e-2),
+    }
+
+    t0 = time.perf_counter()
+    best_p, val_p, trials_p = random_search(
+        base, space, num_trials=8, seed=11, workers=4
+    )
+    t_par = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    best_s, val_s, trials_s = random_search(
+        base, space, num_trials=8, seed=11, workers=1
+    )
+    t_seq = time.perf_counter() - t0
+
+    out = {
+        "trials": 8,
+        "workers": 4,
+        "wallclock_sequential_s": round(t_seq, 1),
+        "wallclock_parallel_s": round(t_par, 1),
+        "speedup": round(t_seq / t_par, 2),
+        "objectives_identical": [t["objective"] for t in trials_p]
+        == [t["objective"] for t in trials_s],
+        "best": best_p,
+        "best_val": val_p,
+    }
+    with open("HPO_r04.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
