@@ -384,7 +384,7 @@ def main():
                 _, details[name] = fn()
                 break
             except Exception as e:
-                details[name] = {"error": repr(e)[:120]}
+                details[name] = {"error": repr(e)[:400]}
                 print(
                     f"[bench] {name} attempt {k+1} failed: {repr(e)[:80]}",
                     file=sys.stderr,

@@ -139,7 +139,8 @@ def _gat_xla_ref(graph, xl, xr, attm, self_logit, *maybe_mask, slope, H, F):
     ]
     weighted = jnp.concatenate(parts, axis=-1)
     out_edges = aggregate(graph, weighted, "sum", "receivers")
-    return out_edges, m_tot, d_tot
+    # dtype parity with the fused primal (custom_jvp requires it)
+    return out_edges.astype(xl.dtype), m_tot, d_tot
 
 
 def _gat_fused_core(graph, xl, xr, attm, slope, self_logit, mask, H, F,
