@@ -119,8 +119,18 @@ def _build_agg_plans(senders, receivers, edge_mask, n_node, TN, TE, MB, W=None):
         "agg_meta": (TN, TE, MB, required),
     }
     if W is not None and W <= n_node:
-        from hydragnn_tpu.ops.fused_gather import plan_windows
+        from hydragnn_tpu.ops.fused_gather import needed_window, plan_windows
 
+        # window-op MXU time is linear in W: shrink the worst-case bound
+        # to the batch's true max endpoint span, rounded up to 32 rows so
+        # near-identical batches of a dataset share one compiled width
+        need = max(
+            needed_window(senders, rp["block_offsets"], rp["sid_blocks"]),
+            needed_window(
+                receivers[perm], sp["block_offsets"], sp["sid_blocks"]
+            ),
+        )
+        W = min(W, max(-(-need // 32) * 32, 32))
         # rcv plan: the "other" endpoint is the sender (batch edge order);
         # snd plan: the receiver, in sender-sorted order
         rw = plan_windows(

@@ -296,6 +296,10 @@ class GATv2Conv(nn.Module):
     concat: bool = True
     dropout: float = 0.25
     edge_dim: Optional[int] = None
+    # force training (grad-of-grad) selects the forward-mode-exact
+    # custom_jvp attention impl; plain training gets the fused
+    # custom_vjp backward (ops/gat_attention.py, MACE-kernel pattern)
+    force_grad: bool = False
 
     @nn.compact
     def __call__(self, graph: GraphBatch, inv, equiv, ctx, train: bool = False):
@@ -335,21 +339,11 @@ class GATv2Conv(nn.Module):
         if has_window_plans(graph) and not use_edge:
             # fused SDDMM -> online segment-softmax -> weighted aggregate
             # (ops/gat_attention.py): logits computed in VMEM, no
-            # [E, H*F] HBM tensors; the self-loop term rides node-level.
-            from hydragnn_tpu.ops.gat_attention import (
-                _BIG,
-                _HP,
-                gat_edge_attention,
-            )
+            # [E, H*F] HBM tensors; self-loop term folded in node-level,
+            # backward fused too unless force training needs forward-mode
+            from hydragnn_tpu.ops.gat_attention import _HP, gat_attention
 
-            self_pad = jnp.concatenate(
-                [
-                    self_logits.astype(jnp.float32),
-                    jnp.full((N, _HP - H), -_BIG, jnp.float32),
-                ],
-                axis=-1,
-            )
-            mask_e = None
+            mask_e = smask = None
             if keys is not None:
                 E = graph.n_edge
                 mask_e = jnp.zeros((E, _HP), x_l_flat.dtype)
@@ -359,22 +353,15 @@ class GATv2Conv(nn.Module):
                     )
                     / keep
                 )
-            out_edges, m_tot, d_tot = gat_edge_attention(
-                graph, x_l_flat, x_r_flat, att[0], self.negative_slope,
-                self_pad, mask_e,
-            )
-            alpha_s = jnp.exp(
-                self_logits.astype(jnp.float32) - m_tot[:, :H]
-            ) / d_tot[:, :H]
-            alpha_s = alpha_s.astype(x_l.dtype)
-            if keys is not None:
-                alpha_s = alpha_s * jax.random.bernoulli(
-                    keys[1], keep, alpha_s.shape
+                smask = jax.random.bernoulli(keys[1], keep, (N, H)).astype(
+                    x_l_flat.dtype
                 ) / keep
-            out = (
-                out_edges.reshape(N, H, F).astype(x_l.dtype)
-                + alpha_s[..., None] * x_l
+            out_flat = gat_attention(
+                graph, x_l_flat, x_r_flat, att[0], self.negative_slope,
+                self_logits, mask_e, smask,
+                impl="jvp" if self.force_grad else "vjp",
             )
+            out = out_flat.reshape(N, H, F).astype(x_l.dtype)
         else:
             # lane-aligned flat gathers (scatter-free backward via
             # gather_nodes)
@@ -498,6 +485,7 @@ class GATStack(ConvStack):
             concat=concat,
             dropout=self.cfg.dropout,
             edge_dim=edge_dim,
+            force_grad=self.cfg.force_grad,
             name=name,
         )
         if self.cfg.global_attn_engine and concat:

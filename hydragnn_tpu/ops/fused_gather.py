@@ -93,6 +93,33 @@ def plan_windows(
     return {"win_start": w.astype(np.int32), "lot": lot}
 
 
+def needed_window(
+    other: np.ndarray, plan_off: np.ndarray, plan_sid: np.ndarray
+) -> int:
+    """Smallest static W (multiple of 8) whose per-tile windows cover the
+    other endpoint of every valid edge, accounting for the 8-row
+    down-alignment of the window start.  Window-op MXU time is linear in
+    W, so the batcher shrinks the worst-case ``static_window_width``
+    bound to (a bucket-rounding of) this data-driven value."""
+    off = np.asarray(plan_off, np.int64)
+    T, MB = off.shape
+    sid = np.asarray(plan_sid).reshape(T, MB, -1)
+    TE = sid.shape[2]
+    other_ext = np.concatenate(
+        [np.asarray(other, np.int64), np.zeros(TE, np.int64)]
+    )
+    idx = np.minimum(off[..., None] + np.arange(TE), len(other_ext) - 1)
+    vals = other_ext[idx]
+    valid = sid >= 0
+    if not valid.any():
+        return 8
+    lo = np.where(valid, vals, np.iinfo(np.int64).max).min(axis=(1, 2))
+    hi = np.where(valid, vals, np.iinfo(np.int64).min).max(axis=(1, 2))
+    has = valid.any(axis=(1, 2))
+    span = np.where(has, hi - (lo // 8) * 8 + 1, 1)
+    return int(-(-int(span.max()) // 8) * 8)
+
+
 def static_window_width(
     max_graph_nodes: int, tile_nodes: int = 128, cap: int = 2048
 ) -> Optional[int]:
@@ -136,9 +163,40 @@ def _pick_tf(F, tile_features, n_wt, W, n_es, TE, R, itemsizes, Rw=0):
 def _combine_window(out_win, win_start, n_node, TN, W):
     """[T*W, F] per-tile window partial sums -> [N, F] global sums: node n
     collects from every tile whose window covers it (windows overlap by
-    construction; the candidate tile range around n // TN is static)."""
+    construction).
+
+    When ``win_start`` is host numpy (always true for plan data) and
+    monotone, the EXACT coverage range per node is precomputed on the
+    host with searchsorted, so the gather loop runs the true overlap
+    count (~ceil(W/TN)+1 candidates) instead of the conservative
+    4*(W//TN)+3 — on wide-feature backward passes the combine's HBM
+    reads drop ~4x."""
     T = out_win.shape[0] // W
-    win_start = jnp.asarray(win_start)  # plan data arrives as host numpy
+    ws_np = np.asarray(win_start) if not isinstance(
+        win_start, jnp.ndarray
+    ) else None
+    if ws_np is not None and T > 0 and np.all(np.diff(ws_np[:T]) >= 0):
+        n_np = np.arange(n_node, dtype=np.int64)
+        # window t covers n iff win_start[t] <= n <= win_start[t]+W-1
+        t_lo = np.searchsorted(ws_np[:T], n_np - W, side="right")
+        t_hi = np.searchsorted(ws_np[:T], n_np, side="right")
+        K = int(np.max(t_hi - t_lo)) if n_node else 0
+        acc = jnp.zeros((n_node, out_win.shape[1]), jnp.float32)
+        for k in range(K):
+            t = t_lo + k
+            ok_np = t < t_hi
+            tc = np.minimum(t, T - 1)
+            off = n_np - ws_np[tc]
+            ok_np &= (off >= 0) & (off < W)
+            rows = jnp.asarray(
+                (tc * W + np.clip(off, 0, W - 1)).astype(np.int32)
+            )
+            ok = jnp.asarray(ok_np)
+            acc = acc + jnp.where(
+                ok[:, None], out_win[rows].astype(jnp.float32), 0.0
+            )
+        return acc
+    win_start = jnp.asarray(win_start)
     n = jnp.arange(n_node, dtype=jnp.int32)
     # conservative candidate range: window starts sit within ~W of their
     # tile's node range in every direction (incl. the n_node-W end clip),

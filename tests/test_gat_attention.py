@@ -104,6 +104,81 @@ def test_gat_attention_grads_match_xla():
         assert float(jnp.abs(a - b).max()) < 1e-4 * scale, name
 
 
+def test_gat_attention_vjp_grads_match_xla():
+    """Fused custom_vjp backward (_gat_backward_kernel): grads wrt
+    xl/xr/att/self_logits equal the full XLA composition, with and
+    without the dropout mask streams."""
+    from hydragnn_tpu.ops.gat_attention import _gat_full_xla, gat_attention
+
+    batch, xl, xr, att, selfl_pad, H, F = _setup(seed=9)
+    selfl = selfl_pad[:, :H]
+    rng = np.random.default_rng(13)
+    # bf16-representable inputs: the kernel's one-hot gathers round values
+    # to bf16, so a leaky-relu kink can take a different branch than the
+    # fp32 XLA ref on near-zero pre-activations.  The backward is exact
+    # for the FUSED primal's branches; quantizing the inputs makes both
+    # paths take identical branches so the comparison is meaningful.
+    q = lambda a: a.astype(jnp.bfloat16).astype(jnp.float32)  # noqa: E731
+    xl, xr, att = q(xl), q(xr), q(att)
+    ct = q(jnp.asarray(
+        rng.normal(size=(batch.n_node, H * F)).astype(np.float32)
+    ))
+    for with_mask in (False, True):
+        if with_mask:
+            emask = np.zeros((batch.n_edge, _HP), np.float32)
+            emask[:, :H] = (rng.random((batch.n_edge, H)) < 0.8) / 0.8
+            emask = jnp.asarray(emask)
+            smask = jnp.asarray(
+                ((rng.random((batch.n_node, H)) < 0.8) / 0.8).astype(
+                    np.float32
+                )
+            )
+        else:
+            emask = smask = None
+
+        def loss_fused(a, b, c, sl):
+            out = gat_attention(
+                batch, a, b, c, 0.05, sl, emask, smask,
+                impl="vjp", interpret=True,
+            )
+            return jnp.vdot(out, ct)
+
+        def loss_ref(a, b, c, sl):
+            sp = jnp.concatenate(
+                [sl, jnp.full((batch.n_node, _HP - H), -_BIG, jnp.float32)],
+                axis=-1,
+            )
+            out = _gat_full_xla(
+                batch, a, b, head_block_matrix(c), sp, emask, smask,
+                slope=0.05, H=H, F=F,
+            )
+            return jnp.vdot(out, ct)
+
+        g = jax.grad(loss_fused, (0, 1, 2, 3))(xl, xr, att, selfl)
+        g_ref = jax.grad(loss_ref, (0, 1, 2, 3))(xl, xr, att, selfl)
+        for a, b, name in zip(g, g_ref, ("xl", "xr", "att", "selfl")):
+            scale = float(jnp.abs(b).max()) + 1e-6
+            err = float(jnp.abs(a - b).max()) / scale
+            assert err < 3e-2, (with_mask, name, err)
+
+
+def test_gat_attention_vjp_rejects_forward_mode():
+    """The vjp impl must fail LOUDLY under forward-mode AD rather than
+    silently mis-differentiating (the MACE-kernel contract)."""
+    from hydragnn_tpu.ops.gat_attention import gat_attention
+
+    batch, xl, xr, att, selfl_pad, H, F = _setup(seed=10)
+    selfl = selfl_pad[:, :H]
+
+    def f(a):
+        return gat_attention(
+            batch, a, xr, att, 0.05, selfl, impl="vjp", interpret=True
+        ).sum()
+
+    with pytest.raises(TypeError):
+        jax.jvp(f, (xl,), (jnp.ones_like(xl),))
+
+
 def test_gatv2_conv_fused_matches_fallback():
     """Model level: GATv2Conv through the fused kernels == the XLA
     fallback path (eval mode, no dropout)."""
