@@ -106,6 +106,17 @@ def _build_agg_plans(senders, receivers, edge_mask, n_node, TN, TE, MB, W=None):
     snd_count = np.bincount(
         senders[edge_mask], minlength=n_node
     ).astype(np.float32)
+    # max segment length either plan's scans can see: segments are
+    # contiguous runs of one endpoint, so a block never holds a run longer
+    # than the max endpoint degree.  The min/max kernels bound their
+    # Hillis-Steele doubling steps by this instead of log2(TE) (degree-16
+    # molecular batches: 5 steps instead of 9).  Rounded up to a power of
+    # two so near-identical batches share one compiled kernel.
+    max_seg = int(max(rcv_count.max(initial=1.0), snd_count.max(initial=1.0), 1.0))
+    max_scan = 1
+    while max_scan < max_seg:
+        max_scan *= 2
+    max_scan = min(max_scan, TE)
     fields = {
         "agg_rcv_off": rp["block_offsets"],
         "agg_rcv_nb": rp["blocks_per_tile"],
@@ -116,7 +127,7 @@ def _build_agg_plans(senders, receivers, edge_mask, n_node, TN, TE, MB, W=None):
         "agg_snd_sid": sp["sid_blocks"].reshape(n_tiles, MB, TE),
         "rcv_count": rcv_count,
         "snd_count": snd_count,
-        "agg_meta": (TN, TE, MB, required),
+        "agg_meta": (TN, TE, MB, required, None, max_scan),
     }
     if W is not None and W <= n_node:
         from hydragnn_tpu.ops.fused_gather import needed_window, plan_windows
@@ -145,7 +156,7 @@ def _build_agg_plans(senders, receivers, edge_mask, n_node, TN, TE, MB, W=None):
                 agg_rcv_win=rw["win_start"],
                 agg_snd_lot=sw["lot"],
                 agg_snd_win=sw["win_start"],
-                agg_meta=(TN, TE, MB, required, W),
+                agg_meta=(TN, TE, MB, required, W, max_scan),
             )
             # dense per-tile adjacency blocks (linear segment-sum fast
             # path, ops/fused_gather.py adjacency_segsum): A[t, n, j] =

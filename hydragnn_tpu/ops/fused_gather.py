@@ -348,6 +348,12 @@ def window_gather_reduce_raw(
     n_wt, n_tt, n_es = len(tables_win), len(tables_tile), len(edge_streams)
     TN, TE, MB = meta[0], meta[1], meta[2]
     W = int(meta[4])
+    # scan-step bound: segments are contiguous runs of one endpoint, so
+    # doubling steps stop at the plan's max segment length (meta[5], a
+    # power of two) instead of log2(TE) — see segment_minmax_pallas_raw
+    max_scan = TE
+    if len(meta) > 5 and meta[5] is not None:
+        max_scan = min(TE, int(meta[5]))
     n_tiles = (n_node + TN - 1) // TN
     shapes = [a.shape for a in tables_win + tables_tile + edge_streams]
     F = shapes[0][1]
@@ -519,7 +525,7 @@ def window_gather_reduce_raw(
                 xmx = jnp.where(valid, vv, -big)
                 xmn = jnp.where(valid, vv, big)
                 s = 1
-                while s < TE:
+                while s < max_scan:
                     pad_sid = jnp.full((s, 1), -2.0, jnp.float32)
                     sid_shift = jnp.concatenate([pad_sid, sid_col[:-s]], 0)
                     same = (sid_shift == sid_col) & valid

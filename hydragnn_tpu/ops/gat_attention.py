@@ -202,6 +202,11 @@ def _gat_stats_kernel(graph, xl, xr, attm, slope, interpret=False):
     off, nb, sid, lot, win = _plan(graph)
     TN, TE, MB = graph.agg_meta[0], graph.agg_meta[1], graph.agg_meta[2]
     W = int(graph.agg_meta[4])
+    # scan-step bound from the plan's max segment length (see
+    # ops/pallas_segment.py segment_minmax_pallas_raw)
+    max_scan = TE
+    if len(graph.agg_meta) > 5 and graph.agg_meta[5] is not None:
+        max_scan = min(TE, int(graph.agg_meta[5]))
     n_node = graph.n_node
     T = n_node // TN
     HF = xl.shape[1]
@@ -265,7 +270,7 @@ def _gat_stats_kernel(graph, xl, xr, attm, slope, interpret=False):
                 valid = sid_col >= 0.0
                 x = jnp.where(valid, logits, -_BIG)
                 s = 1
-                while s < TE:
+                while s < max_scan:
                     sid_shift = jnp.concatenate(
                         [jnp.full((s, 1), -2.0, jnp.float32), sid_col[:-s]],
                         0,
@@ -288,7 +293,7 @@ def _gat_stats_kernel(graph, xl, xr, attm, slope, interpret=False):
                 # broadcast each segment's block max back to its rows
                 y = jnp.where(end_col, x, -_BIG)
                 s = 1
-                while s < TE:
+                while s < max_scan:
                     sid_shift = jnp.concatenate(
                         [sid_col[s:], jnp.full((s, 1), -4.0, jnp.float32)],
                         0,

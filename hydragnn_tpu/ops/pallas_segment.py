@@ -263,6 +263,12 @@ def segment_minmax_pallas_raw(
 
     E, F = data.shape
     TN, TE, MB = meta[:3]
+    # segments are contiguous runs of one endpoint: the scan only needs
+    # doubling steps up to the plan's max segment length (meta[5], a
+    # power of two from _build_agg_plans), not log2(TE)
+    max_scan = TE
+    if len(meta) > 5 and meta[5] is not None:
+        max_scan = min(TE, int(meta[5]))
     n_tiles = (n_node + TN - 1) // TN
     TF = max(
         (t for t in (tile_features, 256, 128) if F % t == 0), default=None
@@ -346,7 +352,7 @@ def segment_minmax_pallas_raw(
 
                 # segmented inclusive scans over rows (static shifts)
                 s = 1
-                while s < TE:
+                while s < max_scan:
                     pad_sid = jnp.full((s, 1), -2.0, jnp.float32)
                     sid_shift = jnp.concatenate([pad_sid, sid_col[:-s]], 0)
                     same = (sid_shift == sid_col) & valid

@@ -48,7 +48,7 @@ def _window_batch(n_graphs=5, n=40, deg=6, seed=0, with_edge_attr=False):
         samples, n_node, n_edge, n_graphs + 1, agg_plan=(128, 512, mb, W)
     )
     assert batch.agg_rcv_lot is not None, "window plan failed to build"
-    assert len(batch.agg_meta) == 5
+    assert len(batch.agg_meta) >= 5
     return batch
 
 

@@ -85,7 +85,7 @@ def test_fused_window_pna_step_matches_unfused():
     from hydragnn_tpu.train.loop import Trainer
 
     batch = build_bench_batch(n_graphs=8)
-    assert len(batch.agg_meta) == 5 and batch.agg_rcv_lot is not None
+    assert len(batch.agg_meta) >= 5 and batch.agg_rcv_lot is not None
     cfg = _mk_cfg(
         "PNA", 256, 2,
         pna_deg=tuple(np.bincount(np.full(2048, 16)).tolist()),
