@@ -179,6 +179,66 @@ def _build_agg_plans(senders, receivers, edge_mask, n_node, TN, TE, MB, W=None):
             )
             if ra is not None and sa is not None:
                 fields.update(agg_rcv_adj=ra, agg_snd_adj=sa)
+    # --- edge-gather plans (ops/fused_gather.py edge_gather_raw) ---
+    # XLA's row gather costs ~17 ns/row on TPU regardless of width, so a
+    # node->edge gather at E=262k is ~4.5 ms; force training stacks many
+    # per step.  Blocks of TE consecutive BATCH-ORDER edges have both
+    # endpoints confined to a bounded contiguous node window (samples are
+    # packed contiguously and edges are receiver-sorted), so the gather is
+    # one [W, TE]-one-hot MXU matmul per block.  Plans for both endpoints;
+    # masked (padding) edges get local id -1 (gather output 0 there, which
+    # every consumer masks downstream).
+    def _egather_plan(endpoint, TE_, Wg=None, cap=2048):
+        """Per-block window starts + window-local ids; with ``Wg`` given,
+        rebuild with that (shared) static width so both directions use the
+        one compiled kernel width and every [w, w+Wg) DMA stays in bounds."""
+        E = len(endpoint)
+        NB = -(-E // TE_)
+        ep = np.where(edge_mask, endpoint.astype(np.int64), -1)
+        ep = np.concatenate([ep, np.full(NB * TE_ - E, -1, np.int64)])
+        ep2 = ep.reshape(NB, TE_)
+        valid = ep2 >= 0
+        has = valid.any(axis=1)
+        lo = np.where(valid, ep2, np.iinfo(np.int64).max).min(axis=1)
+        hi = np.where(valid, ep2, -1).max(axis=1)
+        lo = np.where(has, lo, 0)
+        hi = np.where(has, hi, 0)
+        w = (lo // 8) * 8  # Mosaic: sublane slice starts divisible by 8
+        if Wg is None:
+            span = int(np.max(hi - w + 1, initial=1))
+            Wg = max(-(-span // 32) * 32, 32)  # 32-row buckets share compiles
+        if Wg > cap or Wg > n_node:
+            return None
+        w = np.minimum(w, n_node - Wg)
+        lot = ep2 - w[:, None]
+        cover = valid & (lot >= 0) & (lot < Wg)
+        if not np.array_equal(cover, valid):
+            return None  # widened start clamp pushed an edge out of window
+        lot = np.where(cover, lot, -1)
+        return {
+            "win": w.astype(np.int32),
+            "lot": lot.astype(np.int32),
+            "W": Wg,
+        }
+
+    gs = _egather_plan(senders, TE)
+    gr = _egather_plan(receivers, TE)
+    if gs is not None and gr is not None:
+        # one static width for both directions (one compiled kernel);
+        # rebuild the narrower plan so its start clamp uses the SHARED
+        # width -- otherwise a tail block's window can run past n_node
+        Wg = max(gs["W"], gr["W"])
+        if gs["W"] != Wg:
+            gs = _egather_plan(senders, TE, Wg=Wg)
+        if gr["W"] != Wg:
+            gr = _egather_plan(receivers, TE, Wg=Wg)
+    if gs is not None and gr is not None:
+        meta = fields["agg_meta"]
+        fields.update(
+            eg_snd_win=gs["win"], eg_snd_lot=gs["lot"],
+            eg_rcv_win=gr["win"], eg_rcv_lot=gr["lot"],
+            agg_meta=meta + (Wg,),
+        )
     return fields
 
 

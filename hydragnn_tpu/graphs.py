@@ -106,6 +106,15 @@ class GraphBatch:
     agg_snd_adj: Optional[jnp.ndarray] = None  # [T, TN, W] uint8
     rcv_count: Optional[jnp.ndarray] = None  # [N] real in-degree (float32)
     snd_count: Optional[jnp.ndarray] = None  # [N] real out-degree (float32)
+    # edge-gather plans (ops/fused_gather.py edge_gather_raw): per block of
+    # TE consecutive batch-order edges, a node-window start + window-local
+    # endpoint ids (-1 = masked edge), one plan per endpoint.  Replaces
+    # XLA's serial row gather (~17 ns/row) for node->edge gathers and the
+    # gather legs of the segment-sum transposes.  Static width = agg_meta[6].
+    eg_snd_win: Optional[jnp.ndarray] = None  # [NB] int32
+    eg_snd_lot: Optional[jnp.ndarray] = None  # [NB, TE] int32
+    eg_rcv_win: Optional[jnp.ndarray] = None  # [NB] int32
+    eg_rcv_lot: Optional[jnp.ndarray] = None  # [NB, TE] int32
     # (tile_nodes, tile_edges, max_blocks) -- static so jit sees constants
     agg_meta: Optional[tuple] = struct.field(pytree_node=False, default=None)
 

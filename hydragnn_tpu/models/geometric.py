@@ -293,10 +293,11 @@ class EGCLConv(nn.Module):
             )(cm)
             cm = jnp.tanh(cm)
             trans = jnp.clip(vec_n * cm, -100.0, 100.0)
-            # aggregated at the *sender* (EGCLStack.py:268-277)
-            pos = pos + segment_mean(
-                trans, graph.senders, graph.n_node, mask=graph.edge_mask
-            )
+            # aggregated at the *sender* (EGCLStack.py:268-277); aggregate
+            # (not raw segment_mean) so the [E, 3] reduction rides the
+            # sorted Pallas plan instead of XLA's serial scatter (15.6 ms
+            # of the r04 force step, profiling/BYTES_egnn_force.json)
+            pos = pos + aggregate(graph, trans, "mean", "senders")
         agg = aggregate(graph, ef, "sum", "senders")
         out = MLP(
             (self.hidden_dim, self.out_dim), activation="relu", name="node_mlp"

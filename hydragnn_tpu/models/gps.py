@@ -123,14 +123,16 @@ def _mha(x, node_mask, node_graph, per_graph, channels: int, heads: int,
         # ops/flash_attention.py
         from hydragnn_tpu.ops.flash_attention import flash_attention_small_d
 
-        # padding nodes already carry the reserved padding graph id, which
-        # isolates them in per-graph mode; the whole-batch quirk uses one
-        # real segment + one padding segment
-        seg = (
-            node_graph
-            if per_graph
-            else jnp.where(node_mask, 0, 1).astype(jnp.int32)
-        )
+        # fence padding into a reserved segment regardless of its graph id
+        # (collate's padding graph usually guarantees this, but callers
+        # with ad-hoc node_graph arrays must not leak padding into a real
+        # graph's attention); 2^30 is fp32-exact for the kernel's float
+        # segment compares
+        seg = jnp.where(
+            node_mask,
+            node_graph if per_graph else jnp.zeros_like(node_graph),
+            jnp.full_like(node_graph, 2**30),
+        ).astype(jnp.int32)
         out = flash_attention_small_d(
             q.swapaxes(0, 1), k.swapaxes(0, 1), v.swapaxes(0, 1),
             seg, float(D) ** -0.5, per_graph,

@@ -42,82 +42,141 @@ from hydragnn_tpu.ops.segment import (
 # the loss.
 
 
-def _pallas_segsum(data, off, nb, sid, gather_idx, edge_mask, n_node, meta):
+def _eg_plan(graph, at):
+    """(win, lot, Wg) for the edge-gather kernel, or None when the batch
+    carries no edge-gather plan (ops/fused_gather.py edge_gather_raw)."""
+    from hydragnn_tpu.ops.fused_gather import has_edge_gather
+
+    if not has_edge_gather(graph):
+        return None
+    if at == "senders":
+        return (graph.eg_snd_win, graph.eg_snd_lot, int(graph.agg_meta[6]))
+    return (graph.eg_rcv_win, graph.eg_rcv_lot, int(graph.agg_meta[6]))
+
+
+def _eg_gather(eg, table, idx, edge_mask):
+    """Masked node->edge gather: the Pallas one-hot kernel when a plan is
+    present, else the XLA row gather.  Both read 0 on padding edges."""
+    if eg is None:
+        return jnp.where(edge_mask[:, None], table[idx], 0)
+    from hydragnn_tpu.ops.fused_gather import edge_gather_raw
+
+    win, lot, Wg = eg
+    return edge_gather_raw(table, win, lot, idx.shape[0], Wg)
+
+
+def _pallas_segsum(data, off, nb, sid, gather_idx, edge_mask, n_node, meta,
+                   eg=None):
     """Masked sorted-segment sum [E, F] -> [N, F] (receiver plan);
-    transpose = masked gather at ``gather_idx``."""
+    transpose = masked gather at ``gather_idx`` (Pallas edge-gather kernel
+    when the batch carries a plan)."""
     from jax.custom_derivatives import linear_call
 
     from hydragnn_tpu.ops.pallas_segment import segment_sum_pallas_raw
 
     def fwd(res, d):
-        off_, nb_, sid_, _, _ = res
+        off_, nb_, sid_ = res[:3]
         # no input mask: the tile plan already excludes padding edges
         return segment_sum_pallas_raw(d, off_, nb_, sid_, n_node, meta)
 
     def trans(res, ct):
-        _, _, _, gidx, em = res
+        gidx, em = res[3], res[4]
         # padding edges contribute nothing forward -> zero cotangent
-        return jnp.where(em[:, None], ct[gidx], 0)
+        if eg is None:
+            return jnp.where(em[:, None], ct[gidx], 0)
+        return _eg_gather((res[5], res[6], eg[2]), ct, gidx, em)
 
-    return linear_call(
-        fwd, trans, (off, nb, sid, gather_idx, edge_mask), data
+    res = (off, nb, sid, gather_idx, edge_mask) + (
+        (eg[0], eg[1]) if eg is not None else ()
     )
+    return linear_call(fwd, trans, res, data)
 
 
-def _pallas_segsum_perm(data, perm, off, nb, sid, gather_idx, edge_mask, n_node, meta):
-    """Sender-side variant: the sort permutation is applied inside, so the
-    transpose is a single gather by the original (unsorted) index -- no
-    permutation scatter in either direction."""
+def _pallas_segsum_perm(data, perm, off, nb, sid, gather_idx, edge_mask,
+                        n_node, meta, eg=None, ws_graph=None):
+    """Sender-side variant.  With ``ws_graph`` (a batch with window plans)
+    the forward reduces BATCH-ORDER edge data straight onto the senders
+    via the receiver plan's "wsum" pass -- no edge->edge permutation
+    gather (an XLA row gather, ~17 ns/row).  Otherwise the sort
+    permutation is applied inside, so the transpose is a single gather by
+    the original (unsorted) index -- no scatter in either direction."""
     from jax.custom_derivatives import linear_call
 
     from hydragnn_tpu.ops.pallas_segment import segment_sum_pallas_raw
 
     def fwd(res, d):
-        perm_, off_, nb_, sid_, _, _ = res
+        if ws_graph is not None:
+            from hydragnn_tpu.ops.fused_gather import segsum_senders_raw
+
+            return segsum_senders_raw(ws_graph, d)
+        perm_, off_, nb_, sid_ = res[:4]
         return segment_sum_pallas_raw(d[perm_], off_, nb_, sid_, n_node, meta)
 
     def trans(res, ct):
-        _, _, _, _, gidx, em = res
-        return jnp.where(em[:, None], ct[gidx], 0)
+        gidx, em = res[4], res[5]
+        if eg is None:
+            return jnp.where(em[:, None], ct[gidx], 0)
+        return _eg_gather((res[6], res[7], eg[2]), ct, gidx, em)
 
-    return linear_call(
-        fwd, trans, (perm, off, nb, sid, gather_idx, edge_mask), data
+    res = (perm, off, nb, sid, gather_idx, edge_mask) + (
+        (eg[0], eg[1]) if eg is not None else ()
     )
+    return linear_call(fwd, trans, res, data)
 
 
-def _gather_rows(x, idx, perm, off, nb, sid, edge_mask, n_node, meta):
+def _gather_rows(x, idx, perm, off, nb, sid, edge_mask, n_node, meta,
+                 eg=None, ws_graph=None):
     """Node->edge gather whose transpose is the sorted Pallas segment sum
-    (sender plan) instead of an XLA scatter-add."""
+    (sender plan) instead of an XLA scatter-add.  With an edge-gather plan
+    the forward runs the Pallas one-hot kernel (padding edges read 0 --
+    its exact adjoint is the plan-masked segment sum); otherwise the
+    forward is the plain XLA row gather (padding edges read real rows,
+    downstream consumers mask)."""
     from jax.custom_derivatives import linear_call
 
     from hydragnn_tpu.ops.pallas_segment import segment_sum_pallas_raw
 
     def fwd(res, v):
-        idx_ = res[0]
-        return v[idx_]
+        idx_, em_ = res[0], res[5]
+        if eg is None:
+            return v[idx_]
+        return _eg_gather((res[6], res[7], eg[2]), v, idx_, em_)
 
     def trans(res, ct):
-        _, perm_, off_, nb_, sid_, _ = res
+        if ws_graph is not None:
+            from hydragnn_tpu.ops.fused_gather import segsum_senders_raw
+
+            return segsum_senders_raw(ws_graph, ct)
+        perm_, off_, nb_, sid_ = res[1:5]
         return segment_sum_pallas_raw(ct[perm_], off_, nb_, sid_, n_node, meta)
 
-    return linear_call(fwd, trans, (idx, perm, off, nb, sid, edge_mask), x)
+    res = (idx, perm, off, nb, sid, edge_mask) + (
+        (eg[0], eg[1]) if eg is not None else ()
+    )
+    return linear_call(fwd, trans, res, x)
 
 
-def _gather_rows_noperm(x, idx, off, nb, sid, edge_mask, n_node, meta):
+def _gather_rows_noperm(x, idx, off, nb, sid, edge_mask, n_node, meta,
+                        eg=None):
     """Receiver-side gather; transpose = sorted Pallas sum (receiver plan)."""
     from jax.custom_derivatives import linear_call
 
     from hydragnn_tpu.ops.pallas_segment import segment_sum_pallas_raw
 
     def fwd(res, v):
-        idx_ = res[0]
-        return v[idx_]
+        idx_, em_ = res[0], res[4]
+        if eg is None:
+            return v[idx_]
+        return _eg_gather((res[5], res[6], eg[2]), v, idx_, em_)
 
     def trans(res, ct):
-        _, off_, nb_, sid_, _ = res
+        off_, nb_, sid_ = res[1:4]
         return segment_sum_pallas_raw(ct, off_, nb_, sid_, n_node, meta)
 
-    return linear_call(fwd, trans, (idx, off, nb, sid, edge_mask), x)
+    res = (idx, off, nb, sid, edge_mask) + (
+        (eg[0], eg[1]) if eg is not None else ()
+    )
+    return linear_call(fwd, trans, res, x)
 
 
 
@@ -152,10 +211,14 @@ def gather_nodes(graph: GraphBatch, x: jnp.ndarray, at: str = "senders"):
     if at == "senders":
         if graph.agg_snd_off is None:
             return x[idx]
+        from hydragnn_tpu.ops.fused_gather import has_window_plans
+
         out = _gather_rows(
             xp, idx, graph.agg_snd_perm, graph.agg_snd_off,
             graph.agg_snd_nb, graph.agg_snd_sid,
             graph.edge_mask, graph.n_node, graph.agg_meta,
+            eg=_eg_plan(graph, "senders"),
+            ws_graph=graph if has_window_plans(graph) else None,
         )
     else:
         out = _gather_rows_noperm(
@@ -167,6 +230,7 @@ def gather_nodes(graph: GraphBatch, x: jnp.ndarray, at: str = "senders"):
             graph.edge_mask,
             graph.n_node,
             graph.agg_meta,
+            eg=_eg_plan(graph, "receivers"),
         )
     return out[:, :cols] if cols != out.shape[-1] else out
 
@@ -237,6 +301,7 @@ def segment_minmax(graph: GraphBatch, data: jnp.ndarray):
             graph.edge_mask,
             graph.n_node,
             graph.agg_meta,
+            eg=_eg_plan(graph, "receivers"),
         )
 
     # custom_jvp (not custom_vjp) so the op composes under grad-of-grad
@@ -316,8 +381,11 @@ def aggregate(
                 graph.edge_mask,
                 graph.n_node,
                 graph.agg_meta,
+                eg=_eg_plan(graph, "receivers"),
             )
         elif graph.agg_snd_off is not None:
+            from hydragnn_tpu.ops.fused_gather import has_window_plans
+
             s = _pallas_segsum_perm(
                 data_p,
                 graph.agg_snd_perm,
@@ -328,6 +396,8 @@ def aggregate(
                 graph.edge_mask,
                 graph.n_node,
                 graph.agg_meta,
+                eg=_eg_plan(graph, "senders"),
+                ws_graph=graph if has_window_plans(graph) else None,
             )
         else:
             s = None

@@ -699,6 +699,123 @@ def window_gather_reduce_raw(
     return results
 
 
+def edge_gather_raw(
+    table: jnp.ndarray,  # [N, F]
+    win_start: jnp.ndarray,  # [NB] int32
+    lot: jnp.ndarray,  # [NB, TE] int32 window-local endpoint ids (-1 masked)
+    n_edge: int,  # rows of the output (may be < NB*TE)
+    Wg: int,  # static window width (multiple of 8)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Masked node->edge gather as one one-hot MXU matmul per edge block:
+
+        out[e] = table[endpoint[e]] if edge e is real else 0
+
+    XLA lowers a row gather to ~17 ns/row on TPU regardless of width
+    (~4.5 ms at E=262k); here each block of TE consecutive batch-order
+    edges reads its bounded node window ([Wg, TF] DMA) and selects rows
+    with a [Wg, TE] one-hot matmul -- exact for any input (bf16 direct,
+    fp32 via the 3-way bf16 split).  Blocks tile the edge axis disjointly,
+    so there is no cross-block write overlap.  Replaces the reference's
+    ``x[edge_index]`` gathers (PyG propagate collect) on the TPU path."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, F = table.shape
+    NB, TE = lot.shape
+    # Mosaic wants the last two block dims (8, 128)-divisible or equal to
+    # the array dims: lift lot to [NB, 1, TE] so the block is (1, 1, TE)
+    lot = lot.reshape(NB, 1, TE)
+    fp32 = table.dtype == jnp.float32
+    itemsize = jnp.dtype(table.dtype).itemsize
+    TF = None
+    for t in (512, 256, 128):
+        if F % t == 0 and (Wg * itemsize + TE * 4) * t <= _VMEM_BUDGET:
+            TF = t
+            break
+    assert TF is not None, f"F={F} must be a multiple of 128"
+    assert Wg % 8 == 0 and Wg <= N
+
+    def kernel(win_ref, lot_ref, tbl_hbm, o_ref, win_scr, sem):
+        f = pl.program_id(0)
+        b = pl.program_id(1)
+        start = pl.multiple_of(win_ref[b], 8)
+        dma = pltpu.make_async_copy(
+            tbl_hbm.at[pl.ds(start, Wg), pl.ds(f * TF, TF)], win_scr, sem
+        )
+        dma.start()
+        rows_w = jax.lax.broadcasted_iota(jnp.int32, (Wg, TE), 0)
+        oh = (rows_w == lot_ref[0, 0, :]).astype(jnp.bfloat16)
+
+        def dot(a, v):  # [Wg, TE]^T x [Wg, TF] -> [TE, TF]
+            return jax.lax.dot_general(
+                a, v.astype(jnp.bfloat16),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        dma.wait()
+        v = win_scr[:]
+        if not fp32:
+            out = dot(oh, v)
+        else:
+            vf = v.astype(jnp.float32)
+            hi = vf.astype(jnp.bfloat16)
+            rem = vf - hi.astype(jnp.float32)
+            mid = rem.astype(jnp.bfloat16)
+            lo = rem - mid.astype(jnp.float32)  # bf16-exact remainder
+            out = dot(oh, hi) + dot(oh, mid) + dot(oh, lo.astype(jnp.bfloat16))
+        o_ref[:, :] = out.astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(F // TF, NB),
+            in_specs=[
+                pl.BlockSpec((1, 1, TE), lambda f, b, *_: (b, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((TE, TF), lambda f, b, *_: (b, f)),
+            scratch_shapes=[
+                pltpu.VMEM((Wg, TF), table.dtype),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((NB * TE, F), table.dtype),
+        interpret=interpret,
+    )(win_start, lot, table)
+    return out[:n_edge] if n_edge != NB * TE else out
+
+
+def has_edge_gather(graph) -> bool:
+    return (
+        graph.agg_meta is not None
+        and len(graph.agg_meta) > 6
+        and graph.agg_meta[6] is not None
+        and graph.eg_snd_lot is not None
+        and graph.eg_rcv_lot is not None
+        and jax.default_backend() == "tpu"
+    )
+
+
+def edge_gather(graph, table: jnp.ndarray, at: str = "senders",
+                interpret: bool = False) -> jnp.ndarray:
+    """table[senders|receivers] with masked (padding) edges reading 0,
+    through :func:`edge_gather_raw`.  Raw op only -- AD wiring lives in
+    ops/aggregate.py's linear_call pairs."""
+    assert at in ("senders", "receivers")
+    win, lot = (
+        (graph.eg_snd_win, graph.eg_snd_lot)
+        if at == "senders"
+        else (graph.eg_rcv_win, graph.eg_rcv_lot)
+    )
+    return edge_gather_raw(
+        table, win, lot, graph.n_edge, int(graph.agg_meta[6]),
+        interpret=interpret,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Plan plumbing
 # ---------------------------------------------------------------------------
@@ -732,6 +849,23 @@ def _call(graph, plan, *, interpret=False, **kw):
         win_start=win, n_node=graph.n_node, meta=graph.agg_meta,
         interpret=interpret, **kw,
     )
+
+
+def segsum_senders_raw(graph, data: jnp.ndarray, interpret: bool = False):
+    """sum_{e: snd[e]=n} data[e] for BATCH-ORDER edge data, without the
+    edge->edge permutation gather of the sender-sorted plan (an XLA row
+    gather, ~17 ns/row): one "wsum" pass on the receiver plan reduces each
+    edge block onto its window rows (= senders) via the transposed window
+    one-hot, then the XLA overlap combine.  Raw linear op -- AD pairs live
+    in ops/aggregate.py."""
+    (out,) = _call(
+        graph, _rcv_plan(graph),
+        tables_win=[], tables_tile=[], edge_streams=[data],
+        combine=lambda wv, tv, ev: [ev[0]],
+        reduces=(("wsum", 0),),
+        out_dtype=data.dtype, interpret=interpret,
+    )
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -273,3 +273,75 @@ def test_adjacency_blocks_and_segsum():
     h = jnp.where(batch.edge_mask[:, None], x[batch.receivers], 0.0)
     ref_r = jax.ops.segment_sum(h, batch.senders, batch.n_node)
     assert float(jnp.abs(out_r - ref_r).max()) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Edge-gather kernel (node->edge gather as per-block one-hot matmuls)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("at", ["senders", "receivers"])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_edge_gather_kernel_matches_masked_gather(at, dtype):
+    from hydragnn_tpu.ops.fused_gather import edge_gather_raw
+
+    batch = _window_batch()
+    assert len(batch.agg_meta) > 6 and batch.eg_snd_lot is not None
+    rng = np.random.default_rng(3)
+    table = jnp.asarray(
+        rng.normal(size=(batch.n_node, 128)).astype(np.float32)
+    ).astype(dtype)
+    win, lot = (
+        (batch.eg_snd_win, batch.eg_snd_lot)
+        if at == "senders"
+        else (batch.eg_rcv_win, batch.eg_rcv_lot)
+    )
+    out = edge_gather_raw(
+        table, jnp.asarray(win), jnp.asarray(lot), batch.n_edge,
+        int(batch.agg_meta[6]), interpret=True,
+    )
+    idx = batch.senders if at == "senders" else batch.receivers
+    ref = jnp.where(
+        jnp.asarray(batch.edge_mask)[:, None], table[jnp.asarray(idx)], 0
+    )
+    # the 3-way bf16 split select is exact: bitwise equality
+    np.testing.assert_array_equal(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32)
+    )
+
+
+def test_edge_gather_plan_covers_every_real_edge():
+    batch = _window_batch(n_graphs=7, n=33, deg=5, seed=11)
+    if len(batch.agg_meta) <= 6:
+        pytest.skip("edge-gather plan not built for this batch")
+    TE = batch.agg_meta[1]
+    for win, lot, idx in (
+        (batch.eg_snd_win, batch.eg_snd_lot, batch.senders),
+        (batch.eg_rcv_win, batch.eg_rcv_lot, batch.receivers),
+    ):
+        em = np.asarray(batch.edge_mask)
+        lot = np.asarray(lot)
+        win = np.asarray(win)
+        for e in range(batch.n_edge):
+            b, r = divmod(e, TE)
+            if em[e]:
+                assert lot[b, r] >= 0
+                assert win[b] + lot[b, r] == int(idx[e])
+            else:
+                assert lot[b, r] == -1
+
+
+def test_segsum_senders_wsum_matches_reference():
+    from hydragnn_tpu.ops.fused_gather import segsum_senders_raw
+
+    batch = _window_batch(seed=5)
+    rng = np.random.default_rng(7)
+    data = jnp.asarray(rng.normal(size=(batch.n_edge, 128)).astype(np.float32))
+    out = segsum_senders_raw(batch, data, interpret=True)
+    ref = jax.ops.segment_sum(
+        jnp.where(batch.edge_mask[:, None], data, 0.0),
+        batch.senders, batch.n_node,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
