@@ -42,16 +42,45 @@ from hydragnn_tpu.ops.segment import (
 # the loss.
 
 
-def _eg_plan(graph, at):
+_XLA_GATHER_NS_PER_ROW = 17.0  # measured on v5e, width-independent
+_MXU_FLOPS_PER_NS = 138e3  # ~70% of v5e bf16 peak on the one-hot dots
+
+
+def _eg_plan(graph, at, F=None, dtype=None):
     """(win, lot, Wg) for the edge-gather kernel, or None when the batch
-    carries no edge-gather plan (ops/fused_gather.py edge_gather_raw)."""
+    carries no edge-gather plan (ops/fused_gather.py edge_gather_raw) or
+    the kernel would lose to XLA's row gather.  The kernel's cost is MXU
+    flops LINEAR in table width (F * Wg * 2 per edge row, x3 dots for the
+    exact fp32 split); XLA's gather is ~constant ns/row — wide fp32
+    tables (MACE's m-major features) are cheaper through XLA."""
     from hydragnn_tpu.ops.fused_gather import has_edge_gather
 
     if not has_edge_gather(graph):
         return None
+    Wg = int(graph.agg_meta[6])
+    if F is not None:
+        ndots = 3 if dtype == jnp.float32 else 1
+        if F * Wg * 2 * ndots / _MXU_FLOPS_PER_NS > _XLA_GATHER_NS_PER_ROW:
+            return None
     if at == "senders":
-        return (graph.eg_snd_win, graph.eg_snd_lot, int(graph.agg_meta[6]))
-    return (graph.eg_rcv_win, graph.eg_rcv_lot, int(graph.agg_meta[6]))
+        return (graph.eg_snd_win, graph.eg_snd_lot, Wg)
+    return (graph.eg_rcv_win, graph.eg_rcv_lot, Wg)
+
+
+def _ws_graph(graph, F, dtype):
+    """The batch itself when the "wsum" sender segment-sum beats the
+    permutation-gather + sorted-plan composition at this width, else
+    None.  Same linear-in-width MXU cost vs the perm gather's constant
+    ~17 ns/row (plus the sorted segment sum both variants share)."""
+    from hydragnn_tpu.ops.fused_gather import has_window_plans
+
+    if not has_window_plans(graph):
+        return None
+    W = int(graph.agg_meta[4])
+    nd = 2 if dtype == jnp.float32 else 1
+    if F * W * 2 * nd / _MXU_FLOPS_PER_NS > _XLA_GATHER_NS_PER_ROW:
+        return None
+    return graph
 
 
 def _eg_gather(eg, table, idx, edge_mask):
