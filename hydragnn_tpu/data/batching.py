@@ -129,6 +129,7 @@ def _build_agg_plans(senders, receivers, edge_mask, n_node, TN, TE, MB, W=None):
         "snd_count": snd_count,
         "agg_meta": (TN, TE, MB, required, None, max_scan),
     }
+    nbr_dmax = None  # set when the window-plan neighbor slots are built
     if W is not None and W <= n_node:
         from hydragnn_tpu.ops.fused_gather import needed_window, plan_windows
 
@@ -179,6 +180,30 @@ def _build_agg_plans(senders, receivers, edge_mask, n_node, TN, TE, MB, W=None):
             )
             if ra is not None and sa is not None:
                 fields.update(agg_rcv_adj=ra, agg_snd_adj=sa)
+            # neighbor-slot plan (ops/slot_minmax.py): the d-th in-
+            # neighbor of each receiver-tile row in window-local coords.
+            # Slot count = batch max in-degree rounded to 8 so nearby
+            # batches share one compiled kernel.  Stored as dmax for the
+            # stable agg_meta[7] slot appended at the end.
+            dmax = int(-(-max(int(rcv_count.max(initial=1.0)), 1) // 8) * 8)
+            rcv_r = receivers[edge_mask].astype(np.int64)
+            snd_r = senders[edge_mask].astype(np.int64)
+            t_r = rcv_r // TN
+            row_r = rcv_r - t_r * TN
+            # batch edge order is receiver-sorted, so the within-receiver
+            # slot index is just position minus run start (searchsorted).
+            # Layout [T, Dmax, TN]: TN=128 on the lane axis.
+            d_r = np.arange(len(rcv_r)) - np.searchsorted(
+                rcv_r, rcv_r, side="left"
+            )
+            nbr = np.full((n_tiles, dmax, TN), -1, np.int32)
+            nbr[t_r, d_r, row_r] = snd_r - rw["win_start"][t_r]
+            # per-tile slot bound: kernels loop d < nbr_nd[t] only
+            nd = np.zeros((n_tiles,), np.int32)
+            if len(rcv_r):
+                np.maximum.at(nd, t_r, (d_r + 1).astype(np.int32))
+            fields.update(agg_nbr_lot=nbr, agg_nbr_nd=nd)
+            nbr_dmax = dmax
     # --- edge-gather plans (ops/fused_gather.py edge_gather_raw) ---
     # XLA's row gather costs ~17 ns/row on TPU regardless of width, so a
     # node->edge gather at E=262k is ~4.5 ms; force training stacks many
@@ -233,12 +258,17 @@ def _build_agg_plans(senders, receivers, edge_mask, n_node, TN, TE, MB, W=None):
         if gr["W"] != Wg:
             gr = _egather_plan(receivers, TE, Wg=Wg)
     if gs is not None and gr is not None:
-        meta = fields["agg_meta"]
         fields.update(
             eg_snd_win=gs["win"], eg_snd_lot=gs["lot"],
             eg_rcv_win=gr["win"], eg_rcv_lot=gr["lot"],
-            agg_meta=meta + (Wg,),
+            agg_meta=fields["agg_meta"] + (Wg,),
         )
+    elif nbr_dmax is not None:
+        # hold agg_meta[6] (edge-gather width) stable so the slot count
+        # can live at the fixed index 7
+        fields["agg_meta"] = fields["agg_meta"] + (None,)
+    if nbr_dmax is not None:
+        fields["agg_meta"] = fields["agg_meta"] + (nbr_dmax,)
     return fields
 
 

@@ -115,6 +115,14 @@ class GraphBatch:
     eg_snd_lot: Optional[jnp.ndarray] = None  # [NB, TE] int32
     eg_rcv_win: Optional[jnp.ndarray] = None  # [NB] int32
     eg_rcv_lot: Optional[jnp.ndarray] = None  # [NB, TE] int32
+    # neighbor-slot plan (ops/slot_minmax.py): window-local id of the d-th
+    # in-neighbor (sender) of each receiver-tile row, -1 pad.  Lets the
+    # segment extrema run as Dmax one-hot MXU gathers + trivial VPU
+    # reductions in NODE space instead of Hillis-Steele scans over the
+    # edge stream (the r04 PNA hot spot).  Slot count = agg_meta[7];
+    # agg_nbr_nd bounds the slot loop per tile.
+    agg_nbr_lot: Optional[jnp.ndarray] = None  # [T, Dmax, TN] int32
+    agg_nbr_nd: Optional[jnp.ndarray] = None  # [T] int32
     # (tile_nodes, tile_edges, max_blocks) -- static so jit sees constants
     agg_meta: Optional[tuple] = struct.field(pytree_node=False, default=None)
 

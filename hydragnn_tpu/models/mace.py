@@ -152,6 +152,25 @@ class SymmetricProduct(nn.Module):
         return out
 
 
+class _DenseParams(nn.Module):
+    """Parameters of a Dense layer WITHOUT applying it — same param tree,
+    names, shapes, and initializers as ``nn.Dense`` (kernel lecun_normal,
+    bias zeros), so checkpoints/goldens are interchangeable.  Used when
+    the matmul itself is folded into a Pallas kernel (the fused-radial
+    MACE path, ops/mace_tp.py weighted_tp_scatter_fused)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (in_features, self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return k, b
+
+
 def weighted_tp_mmajor(
     x_m: jnp.ndarray,  # [E, dim_in*mul] m-major (col = i*mul + u per l)
     sh_flat: jnp.ndarray,  # [E, S] concat of sh l-columns
@@ -284,10 +303,13 @@ class MACELayer(nn.Module):
         n_paths = len(tp.paths())
         rad_dim = max(1, math.ceil(mul / 3))
         w = aug
-        for i, d in enumerate([rad_dim, rad_dim, rad_dim, n_paths * mul]):
-            w = nn.Dense(d, name=f"tp_w_{i}")(w)
-            if i < 3:
-                w = jax.nn.silu(w)
+        for i, d in enumerate([rad_dim, rad_dim, rad_dim]):
+            w = jax.nn.silu(nn.Dense(d, name=f"tp_w_{i}")(w))
+        # last radial Dense: params only — the matmul runs either fused
+        # inside the Pallas TP kernels (window-plan path: w never exists
+        # in HBM) or explicitly below (fallback).  Identical param tree
+        # and math to the r04 nn.Dense("tp_w_3").
+        kl, bl = _DenseParams(n_paths * mul, name="tp_w_3")(w.shape[-1])
 
         # m-major TP: gather once in m-major layout, run the scalar-
         # unrolled product (weighted_tp_mmajor, numerically == WeightedTPConv),
@@ -305,7 +327,7 @@ class MACELayer(nn.Module):
 
         if has_window_plans(graph):
             from hydragnn_tpu.equivariant.core import tp_instructions
-            from hydragnn_tpu.ops.mace_tp import weighted_tp_scatter
+            from hydragnn_tpu.ops.mace_tp import weighted_tp_scatter_fused
 
             out_ls = sorted(
                 {
@@ -315,13 +337,21 @@ class MACELayer(nn.Module):
                     )
                 }
             )
-            agg_m = weighted_tp_scatter(
-                graph, up_m, sh_flat.astype(up_m.dtype),
-                w.astype(up_m.dtype),
+            dt = up_m.dtype
+            # bias folded as a trailing ones column on h3 / bias row on
+            # the kernel: the fused kernels compute w = h3a @ wla per
+            # block in VMEM (ops/mace_tp.py weighted_tp_scatter_fused)
+            h3a = jnp.concatenate(
+                [w, jnp.ones((w.shape[0], 1), w.dtype)], axis=-1
+            ).astype(dt)
+            wla = jnp.concatenate([kl, bl[None, :]], axis=0).astype(dt)
+            agg_m = weighted_tp_scatter_fused(
+                graph, up_m, sh_flat.astype(dt), h3a, wla,
                 self.node_irreps_in, cfg.max_ell, cfg.node_max_ell, mul,
                 impl="jvp" if cfg.force_grad else "vjp",
             )
         else:
+            w = jnp.dot(w, kl) + bl
             x_m = gather_nodes(graph, up_m, "senders")
             mji_m, out_ls = weighted_tp_mmajor(
                 x_m, sh_flat, w,

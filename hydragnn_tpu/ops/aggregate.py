@@ -240,14 +240,12 @@ def gather_nodes(graph: GraphBatch, x: jnp.ndarray, at: str = "senders"):
     if at == "senders":
         if graph.agg_snd_off is None:
             return x[idx]
-        from hydragnn_tpu.ops.fused_gather import has_window_plans
-
         out = _gather_rows(
             xp, idx, graph.agg_snd_perm, graph.agg_snd_off,
             graph.agg_snd_nb, graph.agg_snd_sid,
             graph.edge_mask, graph.n_node, graph.agg_meta,
-            eg=_eg_plan(graph, "senders"),
-            ws_graph=graph if has_window_plans(graph) else None,
+            eg=_eg_plan(graph, "senders", xp.shape[1], xp.dtype),
+            ws_graph=_ws_graph(graph, xp.shape[1], xp.dtype),
         )
     else:
         out = _gather_rows_noperm(
@@ -259,7 +257,7 @@ def gather_nodes(graph: GraphBatch, x: jnp.ndarray, at: str = "senders"):
             graph.edge_mask,
             graph.n_node,
             graph.agg_meta,
-            eg=_eg_plan(graph, "receivers"),
+            eg=_eg_plan(graph, "receivers", xp.shape[1], xp.dtype),
         )
     return out[:, :cols] if cols != out.shape[-1] else out
 
@@ -330,7 +328,9 @@ def segment_minmax(graph: GraphBatch, data: jnp.ndarray):
             graph.edge_mask,
             graph.n_node,
             graph.agg_meta,
-            eg=_eg_plan(graph, "receivers"),
+            eg=_eg_plan(
+                graph, "receivers", edge_vals.shape[1], edge_vals.dtype
+            ),
         )
 
     # custom_jvp (not custom_vjp) so the op composes under grad-of-grad
@@ -410,11 +410,9 @@ def aggregate(
                 graph.edge_mask,
                 graph.n_node,
                 graph.agg_meta,
-                eg=_eg_plan(graph, "receivers"),
+                eg=_eg_plan(graph, "receivers", data_p.shape[1], data_p.dtype),
             )
         elif graph.agg_snd_off is not None:
-            from hydragnn_tpu.ops.fused_gather import has_window_plans
-
             s = _pallas_segsum_perm(
                 data_p,
                 graph.agg_snd_perm,
@@ -425,8 +423,8 @@ def aggregate(
                 graph.edge_mask,
                 graph.n_node,
                 graph.agg_meta,
-                eg=_eg_plan(graph, "senders"),
-                ws_graph=graph if has_window_plans(graph) else None,
+                eg=_eg_plan(graph, "senders", data_p.shape[1], data_p.dtype),
+                ws_graph=_ws_graph(graph, data_p.shape[1], data_p.dtype),
             )
         else:
             s = None

@@ -728,12 +728,27 @@ def edge_gather_raw(
     lot = lot.reshape(NB, 1, TE)
     fp32 = table.dtype == jnp.float32
     itemsize = jnp.dtype(table.dtype).itemsize
+    assert F % 128 == 0, f"F={F} must be a multiple of 128"
     TF = None
     for t in (512, 256, 128):
-        if F % t == 0 and (Wg * itemsize + TE * 4) * t <= _VMEM_BUDGET:
+        # full footprint per f-block: window scratch (x4 live copies for
+        # the fp32 3-way-split temporaries vf/hi/rem/mid/lo), the
+        # [Wg, TE] bf16 one-hot, and the fp32 accum/output block —
+        # advisor r04: the old (win + TE*4)*TF bound under-counted and
+        # could blow Mosaic's scoped budget at Wg near the cap with fp32
+        win_copies = 4 if fp32 else 1
+        vmem = (
+            Wg * t * itemsize * win_copies
+            + Wg * TE * 2
+            + TE * t * 4 * 2
+        )
+        if F % t == 0 and vmem <= _VMEM_BUDGET:
             TF = t
             break
-    assert TF is not None, f"F={F} must be a multiple of 128"
+    assert TF is not None, (
+        f"edge_gather VMEM budget exceeded at every feature tile "
+        f"(F={F}, Wg={Wg}, TE={TE}, dtype={table.dtype})"
+    )
     assert Wg % 8 == 0 and Wg <= N
 
     def kernel(win_ref, lot_ref, tbl_hbm, o_ref, win_scr, sem):
@@ -960,6 +975,15 @@ def fused_minmax(
     stop_gradient-ed, which is the exact a.e. second derivative (zero),
     and keeps outer higher-order tangents away from the raw kernels
     (linear_call residuals must be tangent-free)."""
+    from hydragnn_tpu.ops.slot_minmax import _has_slots, fused_minmax_slots
+
+    if edge_term is None and _has_slots(graph):
+        # no edge term: the extremum decomposes as h_i + extremum(h_j)
+        # and runs in NODE space on the neighbor-slot plan — Dmax one-hot
+        # MXU gathers instead of edge-stream Hillis-Steele scans (the r04
+        # PNA hot spot, 77% of the step in the two scan kernels)
+        return fused_minmax_slots(graph, h_i, h_j, interpret=interpret)
+
     dt = h_i.dtype
     rcv = _rcv_plan(graph)
     has_e = edge_term is not None

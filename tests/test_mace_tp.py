@@ -109,6 +109,86 @@ def test_tp_scatter_jvp_grad_of_grad_matches_xla():
     assert float(jnp.abs(g - g_ref).max()) < 3e-2 * scale
 
 
+def test_ct_edge_kernels_match_xla_leg():
+    """The fused disjoint-block d/d-w and d/d-sh kernels (r05) reproduce
+    the XLA edge-space leg exactly at fp32 (one-hot selects are 3-way-
+    split exact; accumulation fp32)."""
+    from hydragnn_tpu.ops.mace_tp import (
+        _ct_edge_xla,
+        _has_eg,
+        mace_ct_sh_raw,
+        mace_ct_w_raw,
+    )
+
+    batch = _window_batch(n_graphs=4, n=40, deg=5, seed=11)
+    assert _has_eg(batch)
+    mul, lsh, lout = 8, 2, 1
+    irreps = ((mul, 0), (mul, 1))
+    terms, Din, Dout, P, _, _, _ = tp_terms(irreps, lsh, lout, mul)
+    rng = np.random.default_rng(12)
+    up = jnp.asarray(rng.normal(size=(batch.n_node, Din)).astype(np.float32))
+    ct = jnp.asarray(rng.normal(size=(batch.n_node, Dout)).astype(np.float32))
+    S = (lsh + 1) ** 2
+    sh = jnp.asarray(rng.normal(size=(batch.n_edge, S)).astype(np.float32))
+    w = jnp.asarray(
+        rng.normal(size=(batch.n_edge, P * mul)).astype(np.float32)
+    )
+    ct_w = mace_ct_w_raw(
+        batch, up, ct, sh, terms, mul, P * mul, interpret=True
+    )
+    ct_sh = mace_ct_sh_raw(batch, up, ct, w, terms, mul, S, interpret=True)
+    rw, rsh = _ct_edge_xla(batch, ct, up, sh, w, terms, mul, P, S)
+    for a, b, name in ((ct_w, rw, "ct_w"), (ct_sh, rsh, "ct_sh")):
+        scale = float(jnp.abs(b).max()) + 1e-6
+        assert float(jnp.abs(a - b).max()) < 1e-5 * scale, name
+
+
+@pytest.mark.parametrize("impl", ["vjp", "jvp"])
+def test_tp_scatter_fused_radial_matches_composition(impl):
+    """The fused-radial variant (w = h3a @ wla computed in-kernel) equals
+    the explicit w composition, forward and grads through every input
+    including the folded Dense kernel/bias rows."""
+    from hydragnn_tpu.ops.mace_tp import weighted_tp_scatter_fused
+
+    batch, irreps, up, sh, w_unused, mul, lsh, lout = _setup(seed=21)
+    terms, Din, Dout, P, _, _, _ = tp_terms(irreps, lsh, lout, mul)
+    rng = np.random.default_rng(22)
+    H = 11
+    h3 = jnp.asarray(rng.normal(size=(batch.n_edge, H)).astype(np.float32))
+    kl = jnp.asarray(rng.normal(size=(H, P * mul)).astype(np.float32))
+    bl = jnp.asarray(rng.normal(size=(P * mul,)).astype(np.float32))
+    h3a = jnp.concatenate(
+        [h3, jnp.ones((batch.n_edge, 1), jnp.float32)], axis=-1
+    )
+    wla = jnp.concatenate([kl, bl[None, :]], axis=0)
+
+    fused = lambda a, b, c, d: weighted_tp_scatter_fused(
+        batch, a, b, c, d, irreps, lsh, lout, mul, impl=impl,
+        interpret=True,
+    )
+    ref = lambda a, b, c, d: _xla_ref(
+        batch, a, b, jnp.dot(c, d), irreps, lsh, lout, mul
+    )
+    out = fused(up, sh, h3a, wla)
+    out_ref = ref(up, sh, h3a, wla)
+    scale = float(jnp.abs(out_ref).max())
+    assert float(jnp.abs(out - out_ref).max()) < 2e-2 * scale
+
+    ct = jnp.asarray(rng.normal(size=out_ref.shape).astype(np.float32))
+
+    def loss(fn):
+        return lambda a, b, c, d: jnp.sum(fn(a, b, c, d) * ct)
+
+    g = jax.grad(loss(fused), (0, 1, 2, 3))(up, sh, h3a, wla)
+    g_ref = jax.grad(loss(ref), (0, 1, 2, 3))(up, sh, h3a, wla)
+    em = batch.edge_mask[:, None]
+    for a, b, name in zip(g, g_ref, ("up", "sh", "h3a", "wla")):
+        if name in ("sh", "h3a"):
+            b = jnp.where(em, b, 0.0)
+        scale = float(jnp.abs(b).max()) + 1e-6
+        assert float(jnp.abs(a - b).max()) < 3e-2 * scale, name
+
+
 def test_tp_scatter_vjp_raises_loudly_on_jvp():
     """The vjp variant must FAIL (not silently mis-differentiate) under
     forward-mode — the guard that force training selects impl='jvp'."""
