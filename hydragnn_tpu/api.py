@@ -616,16 +616,10 @@ def run_training(config_or_path, use_deepspeed: bool = False):
         # contiguous slice; val/test keep fixed shards (never reshuffled)
         from hydragnn_tpu.data.distshuffle import DistributedShuffleView
 
-        num_buckets = int(
-            config["NeuralNetwork"]["Training"].get("num_buckets", 1) or 1
-        )
-        if num_buckets > 1:
-            # bucketed loaders pre-sort samples by size; a lazily
-            # re-permuting view cannot feed them -- static host shards
-            # (documented divergence, COVERAGE.md)
-            train = shard_samples_for_host(train)
-        else:
-            train = DistributedShuffleView(train)
+        # bucketed loaders compose too: BucketedBatcher detects the view,
+        # buckets the GLOBAL dataset by size once, and gives each bucket
+        # its own per-epoch global reshuffle (data/batching.py)
+        train = DistributedShuffleView(train)
         val = shard_samples_for_host(val)
         test = shard_samples_for_host(test)
     train_loader, val_loader, test_loader = _make_loaders(config, train, val, test)

@@ -579,6 +579,47 @@ class BucketedBatcher:
         self.drop_last = drop_last
         self.epoch = 0
 
+        kw = dict(
+            drop_last=drop_last,
+            use_pallas_agg=use_pallas_agg,
+            tile_nodes=tile_nodes,
+            tile_edges=tile_edges,
+        )
+        if hasattr(samples, "set_epoch") and hasattr(samples, "dataset"):
+            # cross-host composition (reference reshuffles globally
+            # regardless of loader, load_data.py:264-282): bucket the
+            # GLOBAL dataset by size ONCE (bucket membership is static —
+            # padded dims per bucket must agree across ranks/epochs),
+            # then give each bucket its own epoch-seeded global
+            # reshuffle view so the rank -> sample assignment still
+            # changes every epoch WITHIN every bucket
+            from hydragnn_tpu.data.distshuffle import DistributedShuffleView
+
+            base = samples.dataset
+            world, rank = samples.world, samples.rank
+            seed0 = samples.seed
+            order = np.argsort(
+                [s.num_nodes for s in base], kind="stable"
+            )
+            num_buckets = max(1, min(num_buckets, len(order)))
+            bounds = np.linspace(0, len(order), num_buckets + 1).astype(int)
+            self.buckets = []
+            for b in range(num_buckets):
+                idx = order[bounds[b] : bounds[b + 1]]
+                if not len(idx):
+                    continue
+                view = DistributedShuffleView(
+                    base, world=world, rank=rank,
+                    seed=seed0 + 104729 * b, subset=idx,
+                )
+                self.buckets.append(
+                    PaddedBatcher(
+                        view, batch_size, shuffle=shuffle,
+                        seed=seed + 7919 * b, **kw,
+                    )
+                )
+            return
+
         order = np.argsort([s.num_nodes for s in samples], kind="stable")
         samples = [samples[i] for i in order]
         num_buckets = max(1, min(num_buckets, len(samples)))
@@ -594,10 +635,7 @@ class BucketedBatcher:
                     batch_size,
                     shuffle=shuffle,
                     seed=seed + 7919 * b,
-                    drop_last=drop_last,
-                    use_pallas_agg=use_pallas_agg,
-                    tile_nodes=tile_nodes,
-                    tile_edges=tile_edges,
+                    **kw,
                 )
             )
 

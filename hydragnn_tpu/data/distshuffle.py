@@ -25,6 +25,25 @@ from typing import Optional, Sequence
 import numpy as np
 
 
+class _Subset:
+    """Random-access restriction of a dataset to fixed global indices
+    (a size bucket's global members)."""
+
+    def __init__(self, dataset: Sequence, indices):
+        self.base = dataset
+        self.indices = np.asarray(indices, np.int64)
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def __getitem__(self, i: int):
+        return self.base[int(self.indices[int(i)])]
+
+    def __iter__(self):
+        for i in range(len(self.indices)):
+            yield self[i]
+
+
 class DistributedShuffleView:
     """This rank's view of an epoch-seeded global permutation.
 
@@ -36,8 +55,10 @@ class DistributedShuffleView:
 
     ``dataset`` needs only ``__len__`` + ``__getitem__``; pass a
     ``GraphContainerDataset`` over all shard dirs for lazy shared-FS
-    reads, or a plain list.
-    """
+    reads, or a plain list.  ``subset`` restricts the permutation to
+    fixed global indices (size-bucket composition — each bucket
+    reshuffles globally within itself, data/batching.py
+    BucketedBatcher)."""
 
     def __init__(
         self,
@@ -45,6 +66,7 @@ class DistributedShuffleView:
         world: Optional[int] = None,
         rank: Optional[int] = None,
         seed: int = 43,
+        subset=None,
     ):
         if world is None or rank is None:
             import jax
@@ -52,6 +74,8 @@ class DistributedShuffleView:
             world = jax.process_count() if world is None else world
             rank = jax.process_index() if rank is None else rank
         assert 0 <= rank < world
+        if subset is not None:
+            dataset = _Subset(dataset, subset)
         self.dataset = dataset
         self.world = int(world)
         self.rank = int(rank)

@@ -82,13 +82,32 @@ class TrialPool:
     multi-chip host.
     """
 
-    def __init__(self, workers: int = 2, env: Optional[Dict] = None):
+    def __init__(self, workers: int = 2, env: Optional[Dict] = None,
+                 pin: bool = False):
         self.workers = max(1, int(workers))
         self.env = env
+        # pin=True: give each worker a DISJOINT core slice via
+        # sched_setaffinity in the child (HYDRAGNN_TPU_CPUSET) — on a
+        # small host concurrent XLA thread pools otherwise oversubscribe
+        # and eat the parallel win (the r04 1.16x artifact; same fix as
+        # bench_scaling's pinned two-process legs)
+        self.pin = bool(pin)
+        try:
+            self._cores = sorted(os.sched_getaffinity(0))
+        except (AttributeError, OSError):
+            self._cores = list(range(os.cpu_count() or self.workers))
         self._live: Dict[int, Any] = {}  # id -> (Popen, outpath, tmpdir)
         self._next = 0
 
-    def _spawn(self, cfg):
+    def _cpuset(self, slot: int) -> Optional[str]:
+        if not self.pin:
+            return None
+        n = len(self._cores)
+        per = max(1, n // self.workers)
+        cores = self._cores[(slot * per) % n : (slot * per) % n + per]
+        return ",".join(map(str, cores)) if cores else None
+
+    def _spawn(self, cfg, cpuset: Optional[str] = None):
         """``cfg`` is one trial config, or a LIST of configs the worker
         runs sequentially in one process (chunking amortizes the JAX
         startup + compile-cache warm-up per worker — without it, tiny
@@ -106,6 +125,8 @@ class TrialPool:
         env = dict(os.environ)
         env.setdefault("JAX_PLATFORMS", "cpu")
         env.setdefault("JAX_PLATFORM_NAME", "cpu")
+        if cpuset:
+            env["HYDRAGNN_TPU_CPUSET"] = cpuset
         if self.env:
             env.update(self.env)
         p = subprocess.Popen(
@@ -116,10 +137,10 @@ class TrialPool:
         )
         return p, out, d
 
-    def submit(self, cfg: Dict) -> int:
+    def submit(self, cfg: Dict, cpuset: Optional[str] = None) -> int:
         tid = self._next
         self._next += 1
-        self._live[tid] = self._spawn(cfg)
+        self._live[tid] = self._spawn(cfg, cpuset=cpuset)
         return tid
 
     def n_live(self) -> int:
@@ -159,8 +180,12 @@ class TrialPool:
                 chunks.append(list(range(start, start + size)))
             start += size
         ids = {}
-        for idxs in chunks:
-            ids[self.submit([cfgs[i] for i in idxs])] = idxs
+        for slot, idxs in enumerate(chunks):
+            ids[
+                self.submit(
+                    [cfgs[i] for i in idxs], cpuset=self._cpuset(slot)
+                )
+            ] = idxs
         results: Dict[int, float] = {}
         while self.n_live():
             tid, vals = self.wait_any()
@@ -197,7 +222,7 @@ def random_search(
 
     results: Dict[int, float] = {}
     if workers > 1 and objective is None:
-        results = TrialPool(workers).run_chunked(
+        results = TrialPool(workers, pin=True).run_chunked(
             [cfg for _, cfg in trial_cfgs]
         )
     else:
@@ -285,6 +310,12 @@ def _worker_main(argv):
     run_training in this one process (shared JAX startup/compile cache)
     and write {"objectives": [...]}.  The TrialPool parent launches
     these."""
+    cs = os.environ.get("HYDRAGNN_TPU_CPUSET")
+    if cs:
+        try:
+            os.sched_setaffinity(0, {int(c) for c in cs.split(",")})
+        except (AttributeError, OSError, ValueError):
+            pass
     inp, out = argv[0], argv[1]
     with open(inp) as f:
         cfgs = json.load(f)

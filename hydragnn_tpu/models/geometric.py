@@ -259,9 +259,17 @@ class EGCLConv(nn.Module):
     hidden_dim: int
     edge_dim: int = 0
     equivariant: bool = False
+    # reference E_GCL exposes act_fn (EGCLStack.py:188, default ReLU);
+    # smooth activations (silu) matter for FORCE training — relu energies
+    # have piecewise-constant gradients, capping stiff-potential force
+    # fits (validation/run_real.py md17 analysis, r05)
+    act: str = "relu"
 
     @nn.compact
     def __call__(self, graph: GraphBatch, inv, equiv, ctx, train: bool = False):
+        from hydragnn_tpu.models.base import activation_function_selection
+
+        act = activation_function_selection(self.act)
         pos = equiv
         vec_n, radial = edge_vectors_lengths(pos, graph, normalize=True, eps=1.0)
         # first edge-MLP linear computed split (node parts at nodes)
@@ -277,12 +285,12 @@ class EGCLConv(nn.Module):
             ef = ef + nn.Dense(
                 self.hidden_dim, use_bias=False, name="edge_mlp_attr"
             )(ea.astype(inv.dtype))
-        ef = jax.nn.relu(ef)
+        ef = act(ef)
         ef = nn.Dense(self.hidden_dim, name="edge_mlp_out")(ef)
-        ef = jax.nn.relu(ef)
+        ef = act(ef)
         if self.equivariant:
             cm = nn.Dense(self.hidden_dim, name="coord_0")(ef)
-            cm = jax.nn.relu(cm)
+            cm = act(cm)
             cm = nn.Dense(
                 1,
                 use_bias=False,
@@ -300,7 +308,8 @@ class EGCLConv(nn.Module):
             pos = pos + aggregate(graph, trans, "mean", "senders")
         agg = aggregate(graph, ef, "sum", "senders")
         out = MLP(
-            (self.hidden_dim, self.out_dim), activation="relu", name="node_mlp"
+            (self.hidden_dim, self.out_dim), activation=self.act,
+            name="node_mlp",
         )(jnp.concatenate([inv, agg], axis=-1))
         return out, pos
 
@@ -333,6 +342,7 @@ class EGCLStack(ConvStack):
             hidden_dim=self.cfg.hidden_dim,
             edge_dim=int(edge_dim or 0),
             equivariant=bool(self.cfg.equivariance) and not last_layer,
+            act=self.cfg.activation,
             name=name,
         )
 

@@ -218,6 +218,90 @@ def _combine_window(out_win, win_start, n_node, TN, W):
     return acc
 
 
+def combine_window_pallas(
+    out_win: jnp.ndarray,  # [T*(W+2*pad), F] per-tile window partials,
+    #   each tile's real rows in the middle [pad, pad+W), pad rows ZERO
+    win_start: jnp.ndarray,  # [T] int32
+    n_node: int,
+    TN: int,
+    W: int,
+    pad: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """[T*(W+2p), F] padded window partials -> [N, F] sums, as a Pallas
+    kernel: node tile tn collects from every window covering it with ONE
+    aligned [TN, TF] DMA per candidate window (the contiguous-rows
+    observation: node n of tile tn sits at window row TN*tn - win[t] + i,
+    an arithmetic range).  The 2*pad zero rows make every candidate's
+    slice in-bounds without clamping/rolling, so there is no masking at
+    all.  Replaces the XLA combine's per-node row gathers (~17 ns/row,
+    the r05 PNA slot-transpose tail at slot_minmax.py)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Wp = W + 2 * pad
+    T = out_win.shape[0] // Wp
+    F = out_win.shape[1]
+    TF = min(512, F) if F % 128 == 0 else None
+    while TF and F % TF:
+        TF //= 2
+    assert TF and TF >= 128, f"F={F} must be a multiple of 128"
+    assert TN % 8 == 0 and pad % 8 == 0 and pad >= TN - 8
+    K = 4 * (W // TN) + 3  # same conservative coverage as _combine_window
+    n_tiles = n_node // TN
+
+    def kernel(win_ref, src_hbm, o_ref, scr, sem):
+        f = pl.program_id(0)
+        tn = pl.program_id(1)
+
+        def dma(k, slot):
+            t = jnp.clip(tn - 2 * (W // TN) - 1 + k, 0, T - 1)
+            # clamped offsets land entirely in the zero guard rows (pad
+            # >= TN), so partial/non-coverage reads contribute exact 0;
+            # only CLIPPED-t duplicates need the ok mask below
+            off = jnp.clip(TN * tn - win_ref[t] + pad, 0, Wp - TN)
+            start = pl.multiple_of(t * Wp + off, 8)
+            return pltpu.make_async_copy(
+                src_hbm.at[pl.ds(start, TN), pl.ds(f * TF, TF)],
+                scr.at[slot],
+                sem.at[slot],
+            )
+
+        dma(0, 0).start()
+
+        def body(k, acc):
+            @pl.when(k + 1 < K)
+            def _pf():
+                dma(k + 1, (k + 1) % 2).start()
+
+            dma(k, k % 2).wait()
+            t = tn - 2 * (W // TN) - 1 + k
+            ok = jnp.logical_and(t >= 0, t < T)
+            v = scr[k % 2][:].astype(jnp.float32)
+            return acc + jnp.where(ok, v, 0.0)
+
+        acc = jax.lax.fori_loop(
+            0, K, body, jnp.zeros((TN, TF), jnp.float32)
+        )
+        o_ref[:, :] = acc.astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(F // TF, n_tiles),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((TN, TF), lambda f, t, *_: (t, f)),
+            scratch_shapes=[
+                pltpu.VMEM((2, TN, TF), out_win.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_node, F), jnp.float32),
+        interpret=interpret,
+    )(win_start, out_win)
+
+
 def adjacency_segsum_raw(
     table: jnp.ndarray,  # [N, F]
     adj: jnp.ndarray,  # [T, TN, W] uint8 multiplicities

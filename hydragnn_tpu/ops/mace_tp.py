@@ -853,14 +853,19 @@ def weighted_tp_scatter_fused(
     )
     S = sh_flat.shape[1]
 
-    def fwd_kernel(x, sh, h3, wlv):
-        return mace_tp_scatter_raw(
-            graph, x, sh, h3, terms, mul, Din, Dout, wl=wlv,
-            interpret=interpret,
-        )
-
     def _w_of(h3, wlv, dt):
         return jnp.dot(h3, wlv).astype(dt)
+
+    def fwd_kernel(x, sh, h3, wlv):
+        # one XLA dot materializes w (bandwidth-optimal, ~1 ms at bench
+        # shapes) feeding the forward stream — measured FASTER than
+        # recomputing w per block inside the kernel (the recompute
+        # serializes with the per-term VPU loop in fwd AND ct_x); only
+        # the BACKWARD contraction stays fused (ct_w never exists in HBM)
+        return mace_tp_scatter_raw(
+            graph, x, sh, _w_of(h3, wlv, x.dtype), terms, mul, Din, Dout,
+            interpret=interpret,
+        )
 
     if impl == "jvp":
         @jax.custom_jvp
@@ -892,9 +897,10 @@ def weighted_tp_scatter_fused(
     def f_bwd(res, ct):
         x, sh, h3, wlv = res
         ct_b = ct.astype(x.dtype)
+        w_mat = _w_of(h3, wlv, x.dtype)
         ct_x = mace_tp_scatter_raw(
-            graph, ct_b, sh, h3, terms, mul, Din, Dout,
-            ct_mode=True, wl=wlv, interpret=interpret,
+            graph, ct_b, sh, w_mat, terms, mul, Din, Dout,
+            ct_mode=True, interpret=interpret,
         ).astype(x.dtype)
         if _has_eg(graph):
             ct_h3, ct_wl = mace_ct_h3_raw(
@@ -902,7 +908,7 @@ def weighted_tp_scatter_fused(
                 interpret=interpret,
             )
             ct_sh = mace_ct_sh_raw(
-                graph, x, ct_b, h3, terms, mul, S, wl=wlv,
+                graph, x, ct_b, w_mat, terms, mul, S,
                 interpret=interpret,
             ).astype(sh.dtype)
         else:

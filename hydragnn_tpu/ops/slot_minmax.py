@@ -268,7 +268,7 @@ def slot_transpose_raw(graph, v, mn_j, mx_j, tn, tx,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from hydragnn_tpu.ops.fused_gather import _combine_window
+    from hydragnn_tpu.ops.fused_gather import combine_window_pallas
 
     TN = graph.agg_meta[0]
     W = int(graph.agg_meta[4])
@@ -279,6 +279,7 @@ def slot_transpose_raw(graph, v, mn_j, mx_j, tn, tx,
     TF = _pick_tf(F, W, 2, v.dtype.itemsize)
     assert TF is not None, f"F={F} must be a multiple of 128"
     out_dt = v.dtype  # window partials at input precision (combine fp32)
+    PAD = 128  # zero guard rows so the combine's slices never clamp
 
     def kernel(win_ref, nd_ref, nbr_ref, mn_ref, mx_ref, tn_ref, tx_ref,
                v_hbm, o_ref, v_scr, sem):
@@ -325,7 +326,9 @@ def slot_transpose_raw(graph, v, mn_j, mx_j, tn, tx,
         acc = jax.lax.fori_loop(
             0, nd_ref[t], body, jnp.zeros((W, TF), jnp.float32)
         )
-        o_ref[:, :] = acc.astype(o_ref.dtype)
+        o_ref[:PAD, :] = jnp.zeros((PAD, TF), o_ref.dtype)
+        o_ref[PAD : PAD + W, :] = acc.astype(o_ref.dtype)
+        o_ref[PAD + W :, :] = jnp.zeros((PAD, TF), o_ref.dtype)
 
     out = pl.pallas_call(
         kernel,
@@ -340,16 +343,20 @@ def slot_transpose_raw(graph, v, mn_j, mx_j, tn, tx,
                 pl.BlockSpec((TN, TF), lambda f, t, *_: (t, f)),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((W, TF), lambda f, t, *_: (t, f)),
+            out_specs=pl.BlockSpec(
+                (W + 2 * PAD, TF), lambda f, t, *_: (t, f)
+            ),
             scratch_shapes=[
                 pltpu.VMEM((W, TF), v.dtype),
                 pltpu.SemaphoreType.DMA,
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((T * W, F), out_dt),
+        out_shape=jax.ShapeDtypeStruct((T * (W + 2 * PAD), F), out_dt),
         interpret=interpret,
     )(win, nd, nbr, mn_j, mx_j, tn, tx, v)
-    return _combine_window(out, win, n_node, TN, W)
+    return combine_window_pallas(
+        out, win, n_node, TN, W, pad=PAD, interpret=interpret
+    )
 
 
 def fused_minmax_slots(graph, h_i: jnp.ndarray, h_j: jnp.ndarray,

@@ -228,6 +228,9 @@ def test_descriptors_config_wiring():
     cfg["Dataset"]["Descriptors"] = {"SphericalCoordinates": True}
     cfg["NeuralNetwork"]["Training"]["num_epoch"] = 1
     cfg["NeuralNetwork"]["Architecture"]["mpnn_type"] = "PNAPlus"
+    # wiring test, not a capacity test: tiny stack compiles ~4x faster
+    cfg["NeuralNetwork"]["Architecture"]["hidden_dim"] = 16
+    cfg["NeuralNetwork"]["Architecture"]["num_conv_layers"] = 1
     cfg.setdefault("Visualization", {})["create_plots"] = False
     cfg["Dataset"]["name"] = "ppf_wiring"
     from hydragnn_tpu.api import run_training
