@@ -320,10 +320,25 @@ if __name__ == "__main__":
         one_small = single_process_point(ndev=4, pin=False, gpd=8)
         print(json.dumps({"small_batch_two_proc": small,
                           "small_batch_one_proc": one_small}))
+        try:
+            ncores = len(os.sched_getaffinity(0))
+        except (AttributeError, OSError):
+            ncores = os.cpu_count() or 4
         out = {
             "graphs_per_device": 32,
+            # headline: the HOST-scaling analogue BASELINE's >=80% bar is
+            # about — 2 REAL jax.distributed processes x 2 devices vs 1
+            # process x 4 devices, matched total devices and cores,
+            # amortized per-device batch.  The virtual 8-device curve
+            # below cannot express it: this host has `host_cores` cores,
+            # so at N > cores the virtual mesh measures core saturation,
+            # not program structure (the r03/r04 >=0.8 points at
+            # 8 graphs/device were dispatch-artifact-inflated — their
+            # 1-device baseline was unamortized; VERDICT r04 weak 3)
+            "host_weak_scaling_efficiency": None,  # filled below
+            "host_cores": ncores,
             "devices": {str(k): v for k, v in results.items()},
-            "weak_scaling_efficiency": {
+            "weak_scaling_efficiency_virtual": {
                 str(k): round(v / (results[1] * k), 4)
                 for k, v in results.items()
             },
@@ -361,6 +376,9 @@ if __name__ == "__main__":
             },
             "halo_comm": halo_comm_report(),
         }
+        out["host_weak_scaling_efficiency"] = out["two_process"][
+            "efficiency_unpinned"
+        ]
         with open("SCALING_r05.json", "w") as f:
             json.dump(out, f, indent=1)
         print("written SCALING_r05.json")

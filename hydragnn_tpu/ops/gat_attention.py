@@ -173,21 +173,17 @@ def _gat_xla_ref(graph, xl, xr, attm, self_logit, *maybe_mask, slope, H, F):
 
 def _gat_fused_core(graph, xl, xr, attm, slope, self_logit, mask, H, F,
                     interpret=False):
-    """Kernel A (online softmax stats) + node merge + kernel B (weighted
-    aggregate)."""
-    m_e, d_e = _gat_stats_kernel(
-        graph, xl, xr, attm, slope, interpret=interpret
-    )
-    m_tot = jnp.maximum(m_e, self_logit)
-    # rescale the edge sum-of-exp from its own max to the merged max;
-    # empty segments (m_e = -BIG) contribute exp(-inf) = 0
-    scale = jnp.where(m_e > -_BIG / 2, jnp.exp(m_e - m_tot), 0.0)
-    d_tot = jnp.maximum(d_e * scale + jnp.exp(self_logit - m_tot), 1e-16)
-    out_edges = _gat_aggregate_kernel(
-        graph, xl, xr, attm, slope, m_tot, d_tot, mask, H, F,
+    """ONE kernel pass: online segmented softmax stats AND the weighted
+    aggregate, flash-attention style — the running [TN, HF] output
+    accumulator rescales by exp(m_old - m_new) per head whenever a block
+    raises a segment max, so the r04 two-pass form's second full window
+    gather + logit recompute (~415 MFLOP/block at H*F=1536) disappears.
+    The self-loop logit merges at the very end inside the kernel (it only
+    shifts m/d and rescales the accumulated edge part)."""
+    return _gat_fwd_merged_kernel(
+        graph, xl, xr, attm, slope, self_logit, mask, H, F,
         interpret=interpret,
     )
-    return out_edges, m_tot, d_tot
 
 
 def _plan(graph):
@@ -195,28 +191,56 @@ def _plan(graph):
             graph.agg_rcv_lot, graph.agg_rcv_win)
 
 
-def _gat_stats_kernel(graph, xl, xr, attm, slope, interpret=False):
+def _gat_fwd_merged_kernel(graph, xl, xr, attm, slope, self_logit, mask,
+                           H, F, interpret=False):
+    """Forward GATv2 attention in one pass over each receiver tile's edge
+    blocks.  Per block: gather x_l rows (window one-hot), add tile x_r,
+    leaky-relu, contract with the head-block attention matrix -> logits;
+    segmented block max (forward scan + end-select broadcast), block
+    sum-of-exp AND block weighted sum at the block max; merge into the
+    running (m, d, acc) with flash-style exp rescales (acc lives in a
+    VMEM scratch, rescaled read-modify-write — a [TN, HF] fori carry
+    would blow the scoped-vmem budget).  Ends with the self-loop merge
+    and the division, so it returns the final
+    (out_edges [N, HF], m_tot [N, _HP], d_tot [N, _HP])."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     off, nb, sid, lot, win = _plan(graph)
     TN, TE, MB = graph.agg_meta[0], graph.agg_meta[1], graph.agg_meta[2]
     W = int(graph.agg_meta[4])
-    # scan-step bound from the plan's max segment length (see
-    # ops/pallas_segment.py segment_minmax_pallas_raw)
     max_scan = TE
     if len(graph.agg_meta) > 5 and graph.agg_meta[5] is not None:
         max_scan = min(TE, int(graph.agg_meta[5]))
     n_node = graph.n_node
     T = n_node // TN
     HF = xl.shape[1]
+    E_req = graph.agg_meta[3]
+    use_mask = mask is not None
+    if use_mask and mask.shape[0] < E_req + TE:
+        mask = jnp.concatenate(
+            [
+                mask,
+                jnp.zeros(
+                    (E_req + TE - mask.shape[0], mask.shape[1]), mask.dtype
+                ),
+            ]
+        )
 
     def kernel(off_ref, nb_ref, win_ref, sid_ref, lot_ref,
-               xr_ref, attm_ref, xl_hbm, o_ref, xl_scr, sem):
+               xr_ref, attm_ref, self_ref, xl_hbm, *rest):
+        if use_mask:
+            mask_hbm = rest[0]
+            o_ref, md_ref = rest[1:3]
+            xl_scr, acc_scr, mask_scr, sem, sem_m = rest[3:8]
+        else:
+            mask_hbm = mask_scr = sem_m = None
+            o_ref, md_ref = rest[0:2]
+            xl_scr, acc_scr, sem = rest[2:5]
         t = pl.program_id(0)
         nblk = nb_ref[t]
-        o_ref[:, :_HP] = jnp.full((TN, _HP), -_BIG, o_ref.dtype)
-        o_ref[:, _HP:] = jnp.zeros((TN, _HP), o_ref.dtype)
+        acc_scr[:, :] = jnp.zeros((TN, HF), jnp.float32)
+        o_ref[:, :] = jnp.zeros((TN, HF), o_ref.dtype)
 
         def win_dma():
             start = pl.multiple_of(win_ref[t], 8)
@@ -224,13 +248,49 @@ def _gat_stats_kernel(graph, xl, xr, attm, slope, interpret=False):
                 xl_hbm.at[pl.ds(start, W), :], xl_scr, sem
             )
 
+        def mask_dma(b, slot):
+            st = pl.multiple_of(off_ref[t, b], 8)
+            return pltpu.make_async_copy(
+                mask_hbm.at[pl.ds(st, TE), :], mask_scr.at[slot], sem_m
+            )
+
+        selfl = self_ref[:, :].astype(jnp.float32)
+
+        def finalize(m_f, d_f):
+            m_tot = jnp.maximum(m_f, selfl)
+            scale = jnp.where(m_f > -_BIG / 2, jnp.exp(m_f - m_tot), 0.0)
+            d_tot = jnp.maximum(
+                d_f * scale + jnp.exp(selfl - m_tot), 1e-16
+            )
+            w = scale / d_tot  # [TN, _HP] per-head rescale of the acc
+            for h in range(H):
+                o_ref[:, h * F : (h + 1) * F] = (
+                    acc_scr[:, h * F : (h + 1) * F] * w[:, h : h + 1]
+                ).astype(o_ref.dtype)
+            md_ref[:, :_HP] = m_tot
+            md_ref[:, _HP:] = d_tot
+
+        @pl.when(nblk == 0)
+        def _empty():
+            finalize(
+                jnp.full((TN, _HP), -_BIG, jnp.float32),
+                jnp.zeros((TN, _HP), jnp.float32),
+            )
+
         @pl.when(nblk > 0)
         def _run():
             win_dma().start()
+            if use_mask:
+                mask_dma(0, 0).start()
             win_dma().wait()
 
             def body(b, carry):
                 m_acc, d_acc = carry
+                if use_mask:
+                    @pl.when(b + 1 < nblk)
+                    def _pf():
+                        mask_dma(b + 1, (b + 1) % 2).start()
+                    mask_dma(b, b % 2).wait()
                 sid_b = sid_ref[0, pl.ds(b, 1), :]
                 lot_b = lot_ref[0, pl.ds(b, 1), :]
                 rows_tn = jax.lax.broadcasted_iota(jnp.int32, (TN, TE), 0)
@@ -256,7 +316,6 @@ def _gat_stats_kernel(graph, xl, xr, attm, slope, interpret=False):
                 xr_blk = sel(oh_tile, xr_ref[:])
                 logits = _logits_blk(x_blk, xr_blk, attm_ref[:], slope)
 
-                # per-node block max via the segmented scan + end select
                 sid_col = (
                     jax.lax.dot_general(
                         oh_tile,
@@ -268,6 +327,7 @@ def _gat_stats_kernel(graph, xl, xr, attm, slope, interpret=False):
                     ) - 1.0
                 )
                 valid = sid_col >= 0.0
+                # forward segmented max scan (extrema at segment ends)
                 x = jnp.where(valid, logits, -_BIG)
                 s = 1
                 while s < max_scan:
@@ -305,184 +365,54 @@ def _gat_stats_kernel(graph, xl, xr, attm, slope, interpret=False):
                     y = jnp.maximum(y, jnp.where(same, sh, -_BIG))
                     s *= 2
                 e = jnp.where(valid, jnp.exp(logits - y), 0.0)
-                bsum = red(oh_tile, e)  # sum exp at block max
+                bsum = red(oh_tile, e)  # sum of exp at the block max
+                # weighted sum at the block max (dropout mask applies to
+                # the aggregate only, exactly like the two-pass form)
+                ew = e
+                if use_mask:
+                    ew = ew * mask_scr[b % 2][:].astype(jnp.float32)
+                parts = []
+                for h in range(H):
+                    parts.append(
+                        ew[:, h : h + 1] * x_blk[:, h * F : (h + 1) * F]
+                    )
+                bout = red(oh_tile, jnp.concatenate(parts, axis=-1))
 
                 m_new = jnp.maximum(m_acc, bmax)
                 old_ok = m_acc > -_BIG / 2
                 blk_ok = bmax > -_BIG / 2
-                d_new = (
-                    jnp.where(
-                        old_ok, d_acc * jnp.exp(m_acc - m_new), 0.0
+                r_old = jnp.where(old_ok, jnp.exp(m_acc - m_new), 0.0)
+                r_blk = jnp.where(blk_ok, jnp.exp(bmax - m_new), 0.0)
+                d_new = d_acc * r_old + bsum * r_blk
+                # rescale the accumulated output per head and add this
+                # block's contribution (VMEM read-modify-write)
+                for h in range(H):
+                    acc_scr[:, h * F : (h + 1) * F] = (
+                        acc_scr[:, h * F : (h + 1) * F]
+                        * r_old[:, h : h + 1]
+                        + bout[:, h * F : (h + 1) * F]
+                        * r_blk[:, h : h + 1]
                     )
-                    + jnp.where(blk_ok, bsum * jnp.exp(bmax - m_new), 0.0)
-                )
                 return (m_new, d_new)
 
             m0 = jnp.full((TN, _HP), -_BIG, jnp.float32)
             d0 = jnp.zeros((TN, _HP), jnp.float32)
             m_f, d_f = jax.lax.fori_loop(0, nblk, body, (m0, d0))
-            o_ref[:, :_HP] = m_f.astype(o_ref.dtype)
-            o_ref[:, _HP:] = d_f.astype(o_ref.dtype)
-
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(T,),
-            in_specs=[
-                pl.BlockSpec((1, MB, TE), lambda t, *_: (t, 0, 0)),
-                pl.BlockSpec((1, MB, TE), lambda t, *_: (t, 0, 0)),
-                pl.BlockSpec((TN, HF), lambda t, *_: (t, 0)),
-                pl.BlockSpec((HF, _HP), lambda t, *_: (0, 0)),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=pl.BlockSpec((TN, 2 * _HP), lambda t, *_: (t, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((W, HF), xl.dtype),
-                pltpu.SemaphoreType.DMA,
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_node, 2 * _HP), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=28 * 2**20
-        ),
-        interpret=interpret,
-    )(off, nb, win, sid, lot, xr, attm, xl)
-    return out[:, :_HP], out[:, _HP:]
-
-
-def _gat_aggregate_kernel(graph, xl, xr, attm, slope, m_tot, d_tot, mask,
-                          H, F, interpret=False):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    off, nb, sid, lot, win = _plan(graph)
-    TN, TE, MB = graph.agg_meta[0], graph.agg_meta[1], graph.agg_meta[2]
-    W = int(graph.agg_meta[4])
-    n_node = graph.n_node
-    T = n_node // TN
-    HF = xl.shape[1]
-    E_req = graph.agg_meta[3]
-    use_mask = mask is not None
-    if use_mask:
-        if mask.shape[0] < E_req + TE:
-            mask = jnp.concatenate(
-                [
-                    mask,
-                    jnp.zeros(
-                        (E_req + TE - mask.shape[0], mask.shape[1]),
-                        mask.dtype,
-                    ),
-                ]
-            )
-
-    def kernel(off_ref, nb_ref, win_ref, sid_ref, lot_ref,
-               xr_ref, attm_ref, md_ref, xl_hbm, *rest):
-        if use_mask:
-            mask_hbm, o_ref, xl_scr, mask_scr, sem, sem_m = rest
-        else:
-            mask_hbm = mask_scr = sem_m = None
-            o_ref, xl_scr, sem = rest
-        t = pl.program_id(0)
-        nblk = nb_ref[t]
-        o_ref[:, :] = jnp.zeros((TN, HF), o_ref.dtype)
-
-        def win_dma():
-            start = pl.multiple_of(win_ref[t], 8)
-            return pltpu.make_async_copy(
-                xl_hbm.at[pl.ds(start, W), :], xl_scr, sem
-            )
-
-        def mask_dma(b, slot):
-            st = pl.multiple_of(off_ref[t, b], 8)
-            return pltpu.make_async_copy(
-                mask_hbm.at[pl.ds(st, TE), :], mask_scr.at[slot], sem_m
-            )
-
-        @pl.when(nblk > 0)
-        def _run():
-            win_dma().start()
-            if use_mask:
-                mask_dma(0, 0).start()
-            win_dma().wait()
-
-            def body(b, acc):
-                if use_mask:
-                    @pl.when(b + 1 < nblk)
-                    def _pf():
-                        mask_dma(b + 1, (b + 1) % 2).start()
-                    mask_dma(b, b % 2).wait()
-                sid_b = sid_ref[0, pl.ds(b, 1), :]
-                lot_b = lot_ref[0, pl.ds(b, 1), :]
-                rows_tn = jax.lax.broadcasted_iota(jnp.int32, (TN, TE), 0)
-                oh_tile = (rows_tn == sid_b).astype(jnp.bfloat16)
-                rows_w = jax.lax.broadcasted_iota(jnp.int32, (W, TE), 0)
-                oh_win = (rows_w == lot_b).astype(jnp.bfloat16)
-
-                def sel(oh, vals):
-                    return jax.lax.dot_general(
-                        oh, vals.astype(jnp.bfloat16),
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-
-                def red(oh, vals):
-                    return jax.lax.dot_general(
-                        oh, vals.astype(jnp.bfloat16),
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-
-                x_blk = sel(oh_win, xl_scr[:])
-                xr_blk = sel(oh_tile, xr_ref[:])
-                logits = _logits_blk(x_blk, xr_blk, attm_ref[:], slope)
-                md = sel(oh_tile, md_ref[:])  # [TE, 2*_HP]
-                m_row = md[:, :_HP]
-                d_row = md[:, _HP:]
-                sid_col = (
-                    jax.lax.dot_general(
-                        oh_tile,
-                        (jax.lax.broadcasted_iota(
-                            jnp.int32, (TN, 1), 0
-                        ) + 1).astype(jnp.bfloat16),
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    ) - 1.0
-                )
-                valid = sid_col >= 0.0
-                alpha = jnp.where(
-                    valid,
-                    jnp.exp(logits - m_row)
-                    / jnp.maximum(d_row, 1e-16),
-                    0.0,
-                )
-                if use_mask:
-                    alpha = alpha * mask_scr[b % 2].astype(jnp.float32)
-                parts = []
-                for h in range(H):
-                    parts.append(
-                        alpha[:, h : h + 1]
-                        * x_blk[:, h * F : (h + 1) * F]
-                    )
-                weighted = jnp.concatenate(parts, axis=-1)
-                return acc + red(oh_tile, weighted)
-
-            acc = jax.lax.fori_loop(
-                0, nblk, body, jnp.zeros((TN, HF), jnp.float32)
-            )
-            o_ref[:, :] = acc.astype(o_ref.dtype)
+            finalize(m_f, d_f)
 
     in_specs = [
         pl.BlockSpec((1, MB, TE), lambda t, *_: (t, 0, 0)),
         pl.BlockSpec((1, MB, TE), lambda t, *_: (t, 0, 0)),
         pl.BlockSpec((TN, HF), lambda t, *_: (t, 0)),
         pl.BlockSpec((HF, _HP), lambda t, *_: (0, 0)),
-        pl.BlockSpec((TN, 2 * _HP), lambda t, *_: (t, 0)),
+        pl.BlockSpec((TN, _HP), lambda t, *_: (t, 0)),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
-    scratch = [pltpu.VMEM((W, HF), xl.dtype)]
-    operands = [xr, attm,
-                jnp.concatenate([m_tot, d_tot], axis=-1), xl]
+    operands = [xr, attm, self_logit, xl]
+    scratch = [
+        pltpu.VMEM((W, HF), xl.dtype),
+        pltpu.VMEM((TN, HF), jnp.float32),
+    ]
     if use_mask:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         operands.append(mask)
@@ -491,22 +421,28 @@ def _gat_aggregate_kernel(graph, xl, xr, attm, slope, m_tot, d_tot, mask,
         scratch.append(pltpu.SemaphoreType.DMA)
     else:
         scratch.append(pltpu.SemaphoreType.DMA)
-    out = pl.pallas_call(
+    out, md = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(T,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((TN, HF), lambda t, *_: (t, 0)),
+            out_specs=(
+                pl.BlockSpec((TN, HF), lambda t, *_: (t, 0)),
+                pl.BlockSpec((TN, 2 * _HP), lambda t, *_: (t, 0)),
+            ),
             scratch_shapes=scratch,
         ),
-        out_shape=jax.ShapeDtypeStruct((n_node, HF), xl.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_node, HF), xl.dtype),
+            jax.ShapeDtypeStruct((n_node, 2 * _HP), jnp.float32),
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=28 * 2**20
         ),
         interpret=interpret,
     )(off, nb, win, sid, lot, *operands)
-    return out
+    return out, md[:, :_HP], md[:, _HP:]
 
 
 # ---------------------------------------------------------------------------

@@ -150,17 +150,12 @@ def mace_tp_scatter_raw(
     graph,
     up_m: jnp.ndarray,  # [N, Din] m-major node features
     sh_flat: jnp.ndarray,  # [E, S] concat SH columns
-    w_flat: jnp.ndarray,  # [E, P*mul] radial weights, OR [E, Ha] radial
-    #                       hidden h3a when ``wl`` is given
+    w_flat: jnp.ndarray,  # [E, P*mul] radial path weights
     terms,
     mul: int,
     Din: int,
     Dout: int,
     ct_mode: bool = False,
-    wl: Optional[jnp.ndarray] = None,  # [Ha, P*mul]: fused last radial
-    #   Dense — w[e] = h3a[e] @ wl computed per block IN VMEM, so the
-    #   [E, P*mul] weight tensor never exists in HBM (bias folded into
-    #   h3a's trailing ones column by the caller)
     interpret: bool = False,
 ):
     """Forward (``ct_mode=False``): out[n] = sum_{e: rcv=n} TP(x[snd e],
@@ -179,25 +174,12 @@ def mace_tp_scatter_raw(
     )
     sh_p, w_p = _pad_streams(graph, sh_flat, w_flat)
     Sw = sh_p.shape[1]
-    Pw_real = wl.shape[1] if wl is not None else w_p.shape[1]
-    Pw = -(-Pw_real // 128) * 128
-    if wl is not None:
-        wl_p = jnp.pad(
-            wl.astype(jnp.bfloat16),
-            ((0, w_p.shape[1] - wl.shape[0]), (0, Pw - Pw_real)),
-        )
+    Pw = w_p.shape[1]
     in_dtype = up_m.dtype
 
     def kernel(off_ref, nb_ref, win_ref, sid_ref, lot_ref,
-               tbl_hbm, sh_hbm, w_hbm, *rest):
-        if wl is not None:
-            wl_ref = rest[0]
-            o_ref, tbl_scr, sh_scr, w_scr, wc_scr, acc_scr = rest[1:7]
-            sem_tbl, sem_es = rest[7:9]
-        else:
-            wl_ref = wc_scr = None
-            o_ref, tbl_scr, sh_scr, w_scr, acc_scr = rest[0:5]
-            sem_tbl, sem_es = rest[5:7]
+               tbl_hbm, sh_hbm, w_hbm, o_ref,
+               tbl_scr, sh_scr, w_scr, acc_scr, sem_tbl, sem_es):
         t = pl.program_id(0)
         nblk = nb_ref[t]
 
@@ -239,15 +221,6 @@ def mace_tp_scatter_raw(
 
                 es_dma(sh_hbm, sh_scr, b, b % 2, sem_es.at[0]).wait()
                 es_dma(w_hbm, w_scr, b, b % 2, sem_es.at[1]).wait()
-                if wl is not None:
-                    # fused last radial Dense: w = h3a @ wl for this
-                    # block, computed on the MXU straight into VMEM — the
-                    # [E, P*mul] weight tensor never exists in HBM
-                    wc_scr[:, :] = jax.lax.dot_general(
-                        w_scr[b % 2][:].astype(jnp.bfloat16), wl_ref[:],
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    ).astype(wc_scr.dtype)
                 sid_b = sid_ref[0, pl.ds(b, 1), :]  # [1, TE]
                 lot_b = lot_ref[0, pl.ds(b, 1), :]
                 rows_tn = jax.lax.broadcasted_iota(jnp.int32, (TN, TE), 0)
@@ -283,8 +256,6 @@ def mace_tp_scatter_raw(
                     )
 
                 def w_load(col):
-                    if wl is not None:
-                        return wc_scr[:, col : col + mul]
                     return w_scr[slot, :, col : col + mul]
 
                 if ct_mode:
@@ -307,32 +278,25 @@ def mace_tp_scatter_raw(
 
     tbl_rows = TN if ct_mode else W
     out_rows, out_cols = (W, Din) if ct_mode else (TN, Dout)
-    in_specs = [
-        pl.BlockSpec((1, MB, TE), lambda t, *_: (t, 0, 0)),
-        pl.BlockSpec((1, MB, TE), lambda t, *_: (t, 0, 0)),
-        pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec(memory_space=pl.ANY),
-    ]
-    scratch = [
-        pltpu.VMEM((tbl_rows, up_m.shape[1]), up_m.dtype),
-        pltpu.VMEM((2, TE, Sw), sh_p.dtype),
-        pltpu.VMEM((2, TE, w_p.shape[1]), w_p.dtype),
-    ]
-    if wl is not None:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        scratch.append(pltpu.VMEM((TE, Pw), w_p.dtype))
-    scratch += [
-        pltpu.VMEM((out_rows, out_cols), jnp.float32),
-        pltpu.SemaphoreType.DMA,
-        pltpu.SemaphoreType.DMA((2,)),
-    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(T,),
-        in_specs=in_specs,
+        in_specs=[
+            pl.BlockSpec((1, MB, TE), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, MB, TE), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
         out_specs=pl.BlockSpec((out_rows, out_cols), lambda t, *_: (t, 0)),
-        scratch_shapes=scratch,
+        scratch_shapes=[
+            pltpu.VMEM((tbl_rows, up_m.shape[1]), up_m.dtype),
+            pltpu.VMEM((2, TE, Sw), sh_p.dtype),
+            pltpu.VMEM((2, TE, Pw), w_p.dtype),
+            pltpu.VMEM((out_rows, out_cols), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
     out = pl.pallas_call(
         kernel,
@@ -350,10 +314,7 @@ def mace_tp_scatter_raw(
             vmem_limit_bytes=28 * 2**20
         ),
         interpret=interpret,
-    )(
-        off, nb, win, sid, lot, up_m, sh_p, w_p,
-        *(() if wl is None else (wl_p,)),
-    )
+    )(off, nb, win, sid, lot, up_m, sh_p, w_p)
     if ct_mode:
         return _combine_window(out, win, n_node, TN, W)
     return out[:n_node]
@@ -415,7 +376,7 @@ def _sel_exact_dot(oh, vals, barrier=False):
 
 
 def _edge_bwd_call(graph, up_m, ct, stream, body, out_cols, out_dtype,
-                   wl=None, interpret=False):
+                   interpret=False):
     """Shared scaffold of the disjoint-block edge-space backward kernels:
     grid over the NB edge blocks of the edge-gather plan (blocks tile the
     edge axis disjointly — block-aligned output writes never overlap),
@@ -441,22 +402,9 @@ def _edge_bwd_call(graph, up_m, ct, stream, body, out_cols, out_dtype,
     Sw = stream_p.shape[1]
     slot3 = snd_lot.reshape(NB, 1, TE)
     rlot3 = rcv_lot.reshape(NB, 1, TE)
-    if wl is not None:
-        # fused-radial mode: the stream is h3a; per block the kernel
-        # recomputes w = h3a @ wl on the MXU and ``body`` receives a
-        # loader over the computed [TE, Pw] value
-        Pw_wl = -(-wl.shape[1] // 128) * 128
-        wl_p = jnp.pad(
-            wl.astype(jnp.bfloat16),
-            ((0, Sw - wl.shape[0]), (0, Pw_wl - wl.shape[1])),
-        )
 
-    def kernel(sw_ref, rw_ref, slot_ref, rlot_ref, st_ref, *rest):
-        if wl is not None:
-            wl_ref, x_hbm, ct_hbm, o_ref, xw_scr, cw_scr, wc_scr, sems = rest
-        else:
-            x_hbm, ct_hbm, o_ref, xw_scr, cw_scr, sems = rest
-            wl_ref = wc_scr = None
+    def kernel(sw_ref, rw_ref, slot_ref, rlot_ref, st_ref, x_hbm, ct_hbm,
+               o_ref, xw_scr, cw_scr, sems):
         b = pl.program_id(0)
         nb = pl.num_programs(0)
 
@@ -494,40 +442,24 @@ def _edge_bwd_call(graph, up_m, ct, stream, body, out_cols, out_dtype,
         ct_blk = _sel_exact_dot(
             oh_r, cw_scr[b % 2][:], barrier=interpret
         ).astype(bdt)
-        if wl is not None:
-            wc_scr[:, :] = jax.lax.dot_general(
-                st_ref[:].astype(jnp.bfloat16), wl_ref[:],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(wc_scr.dtype)
-            body(x_blk, ct_blk, wc_scr, o_ref)
-        else:
-            body(x_blk, ct_blk, st_ref, o_ref)
+        body(x_blk, ct_blk, st_ref, o_ref)
 
-    in_specs = [
-        pl.BlockSpec((1, 1, TE), lambda b, *_: (b, 0, 0)),
-        pl.BlockSpec((1, 1, TE), lambda b, *_: (b, 0, 0)),
-        pl.BlockSpec((TE, Sw), lambda b, *_: (b, 0)),
-    ]
-    if wl is not None:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-    in_specs += [
-        pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec(memory_space=pl.ANY),
-    ]
-    scratch = [
-        pltpu.VMEM((2, Wg, up_m.shape[1]), up_m.dtype),
-        pltpu.VMEM((2, Wg, ct.shape[1]), ct.dtype),
-    ]
-    if wl is not None:
-        scratch.append(pltpu.VMEM((TE, Pw_wl), jnp.float32))
-    scratch.append(pltpu.SemaphoreType.DMA((2, 2)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(NB,),
-        in_specs=in_specs,
+        in_specs=[
+            pl.BlockSpec((1, 1, TE), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, 1, TE), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((TE, Sw), lambda b, *_: (b, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
         out_specs=pl.BlockSpec((TE, out_cols), lambda b, *_: (b, 0)),
-        scratch_shapes=scratch,
+        scratch_shapes=[
+            pltpu.VMEM((2, Wg, up_m.shape[1]), up_m.dtype),
+            pltpu.VMEM((2, Wg, ct.shape[1]), ct.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
     )
     out = pl.pallas_call(
         kernel,
@@ -537,10 +469,7 @@ def _edge_bwd_call(graph, up_m, ct, stream, body, out_cols, out_dtype,
             vmem_limit_bytes=28 * 2**20
         ),
         interpret=interpret,
-    )(
-        snd_win, rcv_win, slot3, rlot3, stream_p,
-        *(() if wl is None else (wl_p,)), up_m, ct,
-    )
+    )(snd_win, rcv_win, slot3, rlot3, stream_p, up_m, ct)
     return out[:E]
 
 
@@ -585,161 +514,13 @@ def mace_ct_w_raw(graph, up_m, ct, sh_flat, terms, mul, Pcols,
     )[:, :Pcols]
 
 
-def mace_ct_h3_raw(graph, up_m, ct, sh_flat, h3a, wl, terms, mul, Pcols,
-                   interpret=False):
-    """Fused-radial backward: per disjoint edge block, build ct_w in VMEM
-    (same per-term products as :func:`mace_ct_w_raw`) and contract it
-    against the last radial Dense INSIDE the kernel:
-
-        ct_h3a[e] = ct_w[e] @ wl^T        (block output)
-        ct_wl     = sum_e h3a[e]^T ct_w[e]  (accumulated across the grid
-                    in the constant-index output block, written fp32)
-
-    so neither ct_w nor w ever exists in HBM.  Needs the h3a stream (for
-    the wl cotangent) alongside sh.  Returns (ct_h3a [E, Ha], ct_wl
-    [Ha, P*mul])."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    TE = graph.agg_meta[1]
-    Wg = int(graph.agg_meta[6])
-    snd_win, snd_lot = graph.eg_snd_win, graph.eg_snd_lot
-    rcv_win, rcv_lot = graph.eg_rcv_win, graph.eg_rcv_lot
-    NB = snd_lot.shape[0]
-    E = graph.n_edge
-    # streams: sh (per-term scalars) and h3a (for the wl cotangent)
-    sh_p = _pad_rows_cols(sh_flat, _SH_PAD, NB * TE)
-    Sw = sh_p.shape[1]
-    h3_p = _pad_rows_cols(h3a, 128, NB * TE)
-    Ha = h3_p.shape[1]
-    Pw = -(-Pcols // 128) * 128
-    wl_p = jnp.pad(
-        wl.astype(jnp.bfloat16),
-        ((0, Ha - wl.shape[0]), (0, Pw - wl.shape[1])),
-    )
-    slot3 = snd_lot.reshape(NB, 1, TE)
-    rlot3 = rcv_lot.reshape(NB, 1, TE)
-    by_wc: Dict[int, list] = {}
-    for c, xc, shc, wc, oc in terms:
-        by_wc.setdefault(wc, []).append((c, xc, shc, oc))
-    bdt = jnp.bfloat16 if up_m.dtype == jnp.bfloat16 else jnp.float32
-
-    def kernel(sw_ref, rw_ref, slot_ref, rlot_ref, sh_ref, h3_ref,
-               wl_ref, x_hbm, ct_hbm, o_ref, owl_ref,
-               xw_scr, cw_scr, acc_scr, sems):
-        b = pl.program_id(0)
-        nb = pl.num_programs(0)
-
-        def dma(hbm, scr, wref, bb, slot, sem_i):
-            st = pl.multiple_of(wref[bb], 8)
-            return pltpu.make_async_copy(
-                hbm.at[pl.ds(st, Wg), :], scr.at[slot], sems.at[sem_i, slot]
-            )
-
-        @pl.when(b == 0)
-        def _first():
-            dma(x_hbm, xw_scr, sw_ref, 0, 0, 0).start()
-            dma(ct_hbm, cw_scr, rw_ref, 0, 0, 1).start()
-            owl_ref[:, :] = jnp.zeros(owl_ref.shape, owl_ref.dtype)
-
-        @pl.when(b + 1 < nb)
-        def _pf():
-            dma(x_hbm, xw_scr, sw_ref, b + 1, (b + 1) % 2, 0).start()
-            dma(ct_hbm, cw_scr, rw_ref, b + 1, (b + 1) % 2, 1).start()
-
-        dma(x_hbm, xw_scr, sw_ref, b, b % 2, 0).wait()
-        dma(ct_hbm, cw_scr, rw_ref, b, b % 2, 1).wait()
-
-        rows_w = jax.lax.broadcasted_iota(jnp.int32, (Wg, TE), 0)
-        oh_s = (rows_w == slot_ref[0, 0, :]).astype(jnp.bfloat16)
-        oh_r = (rows_w == rlot_ref[0, 0, :]).astype(jnp.bfloat16)
-        x_blk = _sel_exact_dot(
-            oh_s, xw_scr[b % 2][:], barrier=interpret
-        ).astype(bdt)
-        ct_blk = _sel_exact_dot(
-            oh_r, cw_scr[b % 2][:], barrier=interpret
-        ).astype(bdt)
-
-        # ct_w for this block into the fp32 scratch
-        acc_scr[:, :] = jnp.zeros(acc_scr.shape, acc_scr.dtype)
-        for wc in sorted(by_wc):
-            a = None
-            cache: Dict[Tuple[int, int], jnp.ndarray] = {}
-            for c, xc, shc, oc in by_wc[wc]:
-                xct = cache.get((xc, oc))
-                if xct is None:
-                    xct = x_blk[:, xc : xc + mul].astype(
-                        jnp.float32
-                    ) * ct_blk[:, oc : oc + mul].astype(jnp.float32)
-                    cache[(xc, oc)] = xct
-                t = (c * sh_ref[:, shc : shc + 1].astype(jnp.float32)) * xct
-                a = t if a is None else a + t
-            acc_scr[:, wc : wc + mul] = a
-
-        ctw_b = acc_scr[:, :].astype(jnp.bfloat16)
-        # ct_h3a = ct_w @ wl^T  (contract the P*mul axis)
-        o_ref[:, :] = jax.lax.dot_general(
-            ctw_b, wl_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(o_ref.dtype)
-        # ct_wl += h3a^T @ ct_w  (accumulates in the persistent block)
-        owl_ref[:, :] += jax.lax.dot_general(
-            h3_ref[:].astype(jnp.bfloat16), ctw_b,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(NB,),
-        in_specs=[
-            pl.BlockSpec((1, 1, TE), lambda b, *_: (b, 0, 0)),
-            pl.BlockSpec((1, 1, TE), lambda b, *_: (b, 0, 0)),
-            pl.BlockSpec((TE, Sw), lambda b, *_: (b, 0)),
-            pl.BlockSpec((TE, Ha), lambda b, *_: (b, 0)),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=(
-            pl.BlockSpec((TE, Ha), lambda b, *_: (b, 0)),
-            pl.BlockSpec((Ha, Pw), lambda b, *_: (0, 0)),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, Wg, up_m.shape[1]), up_m.dtype),
-            pltpu.VMEM((2, Wg, ct.shape[1]), ct.dtype),
-            pltpu.VMEM((TE, Pw), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
-    )
-    ct_h3, ct_wl = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((NB * TE, Ha), up_m.dtype),
-            jax.ShapeDtypeStruct((Ha, Pw), jnp.float32),
-        ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=28 * 2**20
-        ),
-        interpret=interpret,
-    )(snd_win, rcv_win, slot3, rlot3, sh_p, h3_p, wl_p, up_m, ct)
-    return (
-        ct_h3[:E, : h3a.shape[1]],
-        ct_wl[: wl.shape[0], : wl.shape[1]],
-    )
-
-
 def mace_ct_sh_raw(graph, up_m, ct, w_flat, terms, mul, S,
-                   wl=None, interpret=False):
+                   interpret=False):
     """d/d-sh: ct_sh[e, shc] = sum_terms C * sum_u x[snd,xc+u] *
     ct[rcv,oc+u] * w[e,wc+u].  A SEPARATE kernel from :func:`mace_ct_w_raw`
     so energy-only training (positions not differentiated — the sh
     cotangent chain is dead) lets XLA DCE the whole call; force inference
-    (single reverse grad through positions) pays for it only then.
-    With ``wl``, ``w_flat`` is the radial hidden h3a and w is recomputed
-    per block in VMEM (fused-radial mode)."""
+    (single reverse grad through positions) pays for it only then."""
     Sw = 128  # lane-tile output; caller slices [:, :S]
     by_sh: Dict[int, list] = {}
     for c, xc, shc, wc, oc in terms:
@@ -761,8 +542,7 @@ def mace_ct_sh_raw(graph, up_m, ct, w_flat, terms, mul, S,
             o_ref[:, shc : shc + 1] = a
 
     return _edge_bwd_call(
-        graph, up_m, ct, w_flat, body, Sw, jnp.float32, wl=wl,
-        interpret=interpret,
+        graph, up_m, ct, w_flat, body, Sw, jnp.float32, interpret=interpret
     )[:, :S]
 
 
@@ -895,6 +675,11 @@ def weighted_tp_scatter_fused(
         return fwd_kernel(x, sh, h3, wlv), (x, sh, h3, wlv)
 
     def f_bwd(res, ct):
+        # ct_w through the fused disjoint-block kernel, the small Dense
+        # transpose contractions through XLA dots — measured FASTER than
+        # contracting wl inside the kernel (in-kernel matmuls serialize
+        # with the per-term VPU loop; XLA's bandwidth-bound dots overlap
+        # with the surrounding kernels: 43.3 vs 46.9 ms MACE step)
         x, sh, h3, wlv = res
         ct_b = ct.astype(x.dtype)
         w_mat = _w_of(h3, wlv, x.dtype)
@@ -903,8 +688,8 @@ def weighted_tp_scatter_fused(
             ct_mode=True, interpret=interpret,
         ).astype(x.dtype)
         if _has_eg(graph):
-            ct_h3, ct_wl = mace_ct_h3_raw(
-                graph, x, ct_b, sh, h3, wlv, terms, mul, P * mul,
+            ct_w = mace_ct_w_raw(
+                graph, x, ct_b, sh, terms, mul, P * mul,
                 interpret=interpret,
             )
             ct_sh = mace_ct_sh_raw(
@@ -912,12 +697,11 @@ def weighted_tp_scatter_fused(
                 interpret=interpret,
             ).astype(sh.dtype)
         else:
-            w = _w_of(h3, wlv, x.dtype)
             ct_w, ct_sh = _ct_edge_xla(
-                graph, ct, x, sh, w, terms, mul, P, S
+                graph, ct, x, sh, w_mat, terms, mul, P, S
             )
-            ct_h3 = jnp.dot(ct_w, wlv.T)
-            ct_wl = jnp.dot(h3.T, ct_w)
+        ct_h3 = jnp.dot(ct_w, wlv.T)
+        ct_wl = jnp.dot(h3.T, ct_w)
         return (
             ct_x, ct_sh, ct_h3.astype(h3.dtype), ct_wl.astype(wlv.dtype),
         )
