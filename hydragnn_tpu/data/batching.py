@@ -67,7 +67,8 @@ def compute_triplet_dim(
     return _round_up(batch_size * max_t + 1, multiple)
 
 
-def _build_agg_plans(senders, receivers, edge_mask, n_node, TN, TE, MB, W=None):
+def _build_agg_plans(senders, receivers, edge_mask, n_node, TN, TE, MB,
+                     W=None, max_deg_global=None):
     """Pallas aggregation plans (ops/pallas_segment.py) for both edge
     endpoints; returns GraphBatch field dict.  When ``W`` (static window
     width) is given, also builds the fused-kernel window plans
@@ -112,7 +113,12 @@ def _build_agg_plans(senders, receivers, edge_mask, n_node, TN, TE, MB, W=None):
     # Hillis-Steele doubling steps by this instead of log2(TE) (degree-16
     # molecular batches: 5 steps instead of 9).  Rounded up to a power of
     # two so near-identical batches share one compiled kernel.
+    # advisor r04: derive the scan bound from the DATASET-global max
+    # degree when the batcher provides it, so batches whose max degree
+    # crosses a power-of-two boundary share one compiled executable
     max_seg = int(max(rcv_count.max(initial=1.0), snd_count.max(initial=1.0), 1.0))
+    if max_deg_global is not None:
+        max_seg = max(max_seg, int(max_deg_global))
     max_scan = 1
     while max_scan < max_seg:
         max_scan *= 2
@@ -231,7 +237,9 @@ def _build_agg_plans(senders, receivers, edge_mask, n_node, TN, TE, MB, W=None):
         w = (lo // 8) * 8  # Mosaic: sublane slice starts divisible by 8
         if Wg is None:
             span = int(np.max(hi - w + 1, initial=1))
-            Wg = max(-(-span // 32) * 32, 32)  # 32-row buckets share compiles
+            # 128-row buckets (was 32): fewer distinct compiled widths
+            # across a dataset's batches (advisor r04 recompile note)
+            Wg = max(-(-span // 128) * 128, 128)
         if Wg > cap or Wg > n_node:
             return None
         w = np.minimum(w, n_node - Wg)
@@ -498,7 +506,7 @@ class PaddedBatcher:
             W = static_window_width(max_g, tile_nodes)
             if W is not None and W > n_node:
                 W = None
-            self.agg_plan = (tile_nodes, tile_edges, mb, W)
+            self.agg_plan = (tile_nodes, tile_edges, mb, W, max_deg)
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch

@@ -48,6 +48,7 @@ import numpy as np
 
 _BIG = 3.0e38
 _HP = 128  # head lane padding
+_WPAD = 128  # zero guard rows around window-partial outputs (combine)
 
 
 def head_block_matrix(att: jnp.ndarray) -> jnp.ndarray:
@@ -499,7 +500,10 @@ def _gat_backward_kernel(graph, xl, xr, attm, slope, md, s_tot, mask, ct,
         t = pl.program_id(0)
         nblk = nb_ref[t]
         dxr_ref[:, :] = jnp.zeros((TN, HF), dxr_ref.dtype)
-        ow_ref[:, :] = jnp.zeros((W, HF), ow_ref.dtype)
+        # zero-guard-padded window partials: the pallas combine reads
+        # aligned [TN, TF] slices with no masking (see fused_gather
+        # combine_window_pallas)
+        ow_ref[:, :] = jnp.zeros((W + 2 * _WPAD, HF), ow_ref.dtype)
 
         @pl.when(t == 0)
         def _init_datt():
@@ -631,7 +635,7 @@ def _gat_backward_kernel(graph, xl, xr, attm, slope, md, s_tot, mask, ct,
 
             jax.lax.fori_loop(0, nblk, body, 0)
             dxr_ref[:, :] = dxr_scr[:, :].astype(dxr_ref.dtype)
-            ow_ref[:, :] = ow_scr[:, :].astype(ow_ref.dtype)
+            ow_ref[_WPAD : _WPAD + W, :] = ow_scr[:, :].astype(ow_ref.dtype)
 
     in_specs = [
         pl.BlockSpec((1, MB, TE), lambda t, *_: (t, 0, 0)),
@@ -668,14 +672,14 @@ def _gat_backward_kernel(graph, xl, xr, attm, slope, md, s_tot, mask, ct,
             in_specs=in_specs,
             out_specs=(
                 pl.BlockSpec((TN, HF), lambda t, *_: (t, 0)),
-                pl.BlockSpec((W, HF), lambda t, *_: (t, 0)),
+                pl.BlockSpec((W + 2 * _WPAD, HF), lambda t, *_: (t, 0)),
                 pl.BlockSpec((HF, _HP), lambda t, *_: (0, 0)),
             ),
             scratch_shapes=scratch,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_node, HF), jnp.bfloat16),
-            jax.ShapeDtypeStruct((T * W, HF), jnp.bfloat16),
+            jax.ShapeDtypeStruct((T * (W + 2 * _WPAD), HF), jnp.bfloat16),
             jax.ShapeDtypeStruct((HF, _HP), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
@@ -787,7 +791,7 @@ def gat_attention(
         return out32.astype(xl_.dtype), res
 
     def _bwd(res, ct):
-        from hydragnn_tpu.ops.fused_gather import _combine_window
+        from hydragnn_tpu.ops.fused_gather import combine_window_pallas
 
         xl_, xr_, attm_, selfp_, masks, m, d, out32 = res
         em, sm = unpack(masks)
@@ -820,7 +824,10 @@ def gat_attention(
         TN = graph.agg_meta[0]
         W = int(graph.agg_meta[4])
         dxl = (
-            _combine_window(win_part, graph.agg_rcv_win, N, TN, W)
+            combine_window_pallas(
+                win_part, graph.agg_rcv_win, N, TN, W, pad=_WPAD,
+                interpret=interpret,
+            )
             + dxl_self
         )
         grads = (
