@@ -182,6 +182,8 @@ def test_force_equivariance_mace_higher_order():
     _force_equivariance_check(create_model("MACE", cfg), "MACE l=3 corr=3")
 
 
+@pytest.mark.slow  # radial formulas are pinned fast in
+# test_radial_transforms; this end-to-end wiring check is compile-heavy
 def test_force_equivariance_mace_radial_variants():
     """MACE with the non-default radial family actually wired through
     (MACEStack.py:80-81,171-177): chebyshev basis + Agnesi transform."""

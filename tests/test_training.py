@@ -109,6 +109,7 @@ def test_multihead_training_runs(tmp_path, monkeypatch):
     assert np.isfinite(err)
 
 
+@pytest.mark.slow
 def test_gps_performer_trains_to_threshold(tmp_path, monkeypatch):
     """GPS with Performer (FAVOR+ linear) attention trains to the same
     threshold as multihead (reference globalAtt/gps.py:62-70 performer
