@@ -14,10 +14,14 @@ neighbors of a NODE table — an op over N rows, not E.  The batcher's
 neighbor-slot plan (data/batching.py agg_nbr_lot, [T, Dmax, TN] window-
 local sender ids with -1 padding) turns M into, per receiver tile,
 
-    for d < nd[t]:  g_d = onehot(nbr[:, d]) @ window   (MXU)
-                    mn/mx/tie-counts update              (VPU, [TN, TF])
+    per CHUNK of 8 slots: G = onehot(nbr-chunk) @ window  (ONE MXU
+    matmul over [8*TN, W] — small per-slot matmuls paid a heavy MXU
+    launch/utilization penalty); then per slot: mn/mx/tie-count
+    updates on [TN, TF] slices (VPU)
 
-with the window DMA'd once per tile.  The backward scatters cotangents
+with the window DMA'd once per tile.  The plan is consumed pre-flattened
+d-major ([T, Dmax/8, 8*TN]) so the chunk one-hot builds directly on the
+lane axis with no in-kernel reshape.  The backward scatters cotangents
 to extremal slots through the TRANSPOSED one-hot matmuls onto the window
 rows, combined across overlapping tile windows in XLA (the established
 _combine_window path).  Invalid slots gather zero rows AND scatter
@@ -30,8 +34,6 @@ PNA aggregator path (``hydragnn/models/PNAStack.py:19-70``).
 """
 
 from __future__ import annotations
-
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -94,7 +96,10 @@ def slot_minmax_raw(graph, v: jnp.ndarray, interpret: bool = False):
     TN = graph.agg_meta[0]
     W = int(graph.agg_meta[4])
     Dmax = int(graph.agg_meta[7])
+    DC = 8  # slots per MXU chunk (Dmax is a multiple of 8 by the plan)
+    NC = Dmax // DC
     nbr, nd, win = graph.agg_nbr_lot, graph.agg_nbr_nd, graph.agg_rcv_win
+    nbr2 = nbr.reshape(nbr.shape[0], NC, DC * TN)  # d-major chunks
     n_node = v.shape[0]
     F = v.shape[1]
     T = n_node // TN
@@ -109,31 +114,33 @@ def slot_minmax_raw(graph, v: jnp.ndarray, interpret: bool = False):
             v_hbm.at[pl.ds(start, W), pl.ds(f * TF, TF)], win_scr, sem
         )
         dma.start()
-        rows_w = jax.lax.broadcasted_iota(jnp.int32, (W, TN), 0)
+        rows_w = jax.lax.broadcasted_iota(jnp.int32, (W, DC * TN), 0)
         ones_w = jnp.ones((W, 1), jnp.bfloat16)
         dma.wait()
 
-        def body(d, carry):
+        def body(c, carry):
             mn, mx, cmn, cmx = carry
-            nbr_row = nbr_ref[0, pl.ds(d, 1), :]  # [1, TN]
-            oh = (rows_w == nbr_row).astype(jnp.bfloat16)
-            g = _sel(oh, win_scr[:], interpret)  # [TN, TF] fp32
-            m = jax.lax.dot_general(  # [TN, 1] validity (1 iff slot real)
+            row = nbr_ref[0, pl.ds(c, 1), :]  # [1, DC*TN]
+            oh = (rows_w == row).astype(jnp.bfloat16)  # [W, DC*TN]
+            G = _sel(oh, win_scr[:], interpret)  # [DC*TN, TF] fp32
+            M = jax.lax.dot_general(  # [DC*TN, 1] slot validity
                 oh, ones_w,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            valid = m > 0.5
-            gmn = jnp.where(valid, g, _BIG)
-            gmx = jnp.where(valid, g, -_BIG)
-            cmn = jnp.where(
-                gmn < mn, 1.0, cmn + (gmn == mn).astype(jnp.float32)
-            )
-            mn = jnp.minimum(mn, gmn)
-            cmx = jnp.where(
-                gmx > mx, 1.0, cmx + (gmx == mx).astype(jnp.float32)
-            )
-            mx = jnp.maximum(mx, gmx)
+            for d in range(DC):
+                g = G[d * TN : (d + 1) * TN, :]
+                valid = M[d * TN : (d + 1) * TN, :] > 0.5
+                gmn = jnp.where(valid, g, _BIG)
+                gmx = jnp.where(valid, g, -_BIG)
+                cmn = jnp.where(
+                    gmn < mn, 1.0, cmn + (gmn == mn).astype(jnp.float32)
+                )
+                mn = jnp.minimum(mn, gmn)
+                cmx = jnp.where(
+                    gmx > mx, 1.0, cmx + (gmx == mx).astype(jnp.float32)
+                )
+                mx = jnp.maximum(mx, gmx)
             return mn, mx, cmn, cmx
 
         init = (
@@ -142,7 +149,8 @@ def slot_minmax_raw(graph, v: jnp.ndarray, interpret: bool = False):
             jnp.zeros((TN, TF), jnp.float32),
             jnp.zeros((TN, TF), jnp.float32),
         )
-        mn, mx, cmn, cmx = jax.lax.fori_loop(0, nd_ref[t], body, init)
+        nchunks = (nd_ref[t] + DC - 1) // DC
+        mn, mx, cmn, cmx = jax.lax.fori_loop(0, nchunks, body, init)
         o_ref[:, 0 * TF : 1 * TF] = mn
         o_ref[:, 1 * TF : 2 * TF] = mx
         o_ref[:, 2 * TF : 3 * TF] = cmn
@@ -154,7 +162,7 @@ def slot_minmax_raw(graph, v: jnp.ndarray, interpret: bool = False):
             num_scalar_prefetch=2,
             grid=(F // TF, T),
             in_specs=[
-                pl.BlockSpec((1, Dmax, TN), lambda f, t, *_: (t, 0, 0)),
+                pl.BlockSpec((1, NC, DC * TN), lambda f, t, *_: (t, 0, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((TN, 4 * TF), lambda f, t, *_: (t, f)),
@@ -165,7 +173,7 @@ def slot_minmax_raw(graph, v: jnp.ndarray, interpret: bool = False):
         ),
         out_shape=jax.ShapeDtypeStruct((n_node, 4 * F), jnp.float32),
         interpret=interpret,
-    )(win, nd, nbr, v)
+    )(win, nd, nbr2, v)
     packed = out.reshape(n_node, F // TF, 4, TF)
     return tuple(packed[:, :, r, :].reshape(n_node, F) for r in range(4))
 
@@ -181,7 +189,10 @@ def slot_tangent_raw(graph, v, tj, mn_j, mx_j, inv_mn, inv_mx,
     TN = graph.agg_meta[0]
     W = int(graph.agg_meta[4])
     Dmax = int(graph.agg_meta[7])
+    DC = 8
+    NC = Dmax // DC
     nbr, nd, win = graph.agg_nbr_lot, graph.agg_nbr_nd, graph.agg_rcv_win
+    nbr2 = nbr.reshape(nbr.shape[0], NC, DC * TN)
     n_node, F = v.shape
     T = n_node // TN
     TF = _pick_tf(F, W, 2, max(v.dtype.itemsize, tj.dtype.itemsize))
@@ -201,7 +212,7 @@ def slot_tangent_raw(graph, v, tj, mn_j, mx_j, inv_mn, inv_mx,
         )
         d1.start()
         d2.start()
-        rows_w = jax.lax.broadcasted_iota(jnp.int32, (W, TN), 0)
+        rows_w = jax.lax.broadcasted_iota(jnp.int32, (W, DC * TN), 0)
         mn = mn_ref[:, :].astype(jnp.float32)
         mx = mx_ref[:, :].astype(jnp.float32)
         wn = ivn_ref[:, :].astype(jnp.float32)
@@ -209,18 +220,22 @@ def slot_tangent_raw(graph, v, tj, mn_j, mx_j, inv_mn, inv_mx,
         d1.wait()
         d2.wait()
 
-        def body(d, carry):
+        def body(c, carry):
             an, ax = carry
-            nbr_row = nbr_ref[0, pl.ds(d, 1), :]
-            oh = (rows_w == nbr_row).astype(jnp.bfloat16)
-            g = _sel(oh, v_scr[:], interpret)
-            tjd = _sel(oh, tj_scr[:], interpret)
-            an = an + jnp.where(g == mn, wn, 0.0) * tjd
-            ax = ax + jnp.where(g == mx, wx, 0.0) * tjd
+            row = nbr_ref[0, pl.ds(c, 1), :]
+            oh = (rows_w == row).astype(jnp.bfloat16)
+            G = _sel(oh, v_scr[:], interpret)
+            TJ = _sel(oh, tj_scr[:], interpret)
+            for d in range(DC):
+                g = G[d * TN : (d + 1) * TN, :]
+                tjd = TJ[d * TN : (d + 1) * TN, :]
+                an = an + jnp.where(g == mn, wn, 0.0) * tjd
+                ax = ax + jnp.where(g == mx, wx, 0.0) * tjd
             return an, ax
 
+        nchunks = (nd_ref[t] + DC - 1) // DC
         an, ax = jax.lax.fori_loop(
-            0, nd_ref[t], body,
+            0, nchunks, body,
             (jnp.zeros((TN, TF), jnp.float32),
              jnp.zeros((TN, TF), jnp.float32)),
         )
@@ -233,7 +248,7 @@ def slot_tangent_raw(graph, v, tj, mn_j, mx_j, inv_mn, inv_mx,
             num_scalar_prefetch=2,
             grid=(F // TF, T),
             in_specs=[
-                pl.BlockSpec((1, Dmax, TN), lambda f, t, *_: (t, 0, 0)),
+                pl.BlockSpec((1, NC, DC * TN), lambda f, t, *_: (t, 0, 0)),
                 pl.BlockSpec((TN, TF), lambda f, t, *_: (t, f)),
                 pl.BlockSpec((TN, TF), lambda f, t, *_: (t, f)),
                 pl.BlockSpec((TN, TF), lambda f, t, *_: (t, f)),
@@ -250,7 +265,7 @@ def slot_tangent_raw(graph, v, tj, mn_j, mx_j, inv_mn, inv_mx,
         ),
         out_shape=jax.ShapeDtypeStruct((n_node, 2 * F), jnp.float32),
         interpret=interpret,
-    )(win, nd, nbr, mn_j, mx_j, inv_mn, inv_mx, v, tj)
+    )(win, nd, nbr2, mn_j, mx_j, inv_mn, inv_mx, v, tj)
     packed = out.reshape(n_node, F // TF, 2, TF)
     return (
         packed[:, :, 0, :].reshape(n_node, F),
@@ -273,7 +288,10 @@ def slot_transpose_raw(graph, v, mn_j, mx_j, tn, tx,
     TN = graph.agg_meta[0]
     W = int(graph.agg_meta[4])
     Dmax = int(graph.agg_meta[7])
+    DC = 8
+    NC = Dmax // DC
     nbr, nd, win = graph.agg_nbr_lot, graph.agg_nbr_nd, graph.agg_rcv_win
+    nbr2 = nbr.reshape(nbr.shape[0], NC, DC * TN)
     n_node, F = v.shape
     T = n_node // TN
     TF = _pick_tf(F, W, 2, v.dtype.itemsize)
@@ -290,14 +308,14 @@ def slot_transpose_raw(graph, v, mn_j, mx_j, tn, tx,
             v_hbm.at[pl.ds(start, W), pl.ds(f * TF, TF)], v_scr, sem
         )
         dma.start()
-        rows_w = jax.lax.broadcasted_iota(jnp.int32, (W, TN), 0)
+        rows_w = jax.lax.broadcasted_iota(jnp.int32, (W, DC * TN), 0)
         mn = mn_ref[:, :].astype(jnp.float32)
         mx = mx_ref[:, :].astype(jnp.float32)
         tn_ = tn_ref[:, :].astype(jnp.float32)
         tx_ = tx_ref[:, :].astype(jnp.float32)
         dma.wait()
 
-        def scatter(oh, e):  # [W, TN] x [TN, TF] -> [W, TF]
+        def scatter(oh, e):  # [W, DC*TN] x [DC*TN, TF] -> [W, TF]
             if out_dt == jnp.bfloat16:
                 return jax.lax.dot_general(
                     oh, e.astype(jnp.bfloat16),
@@ -316,15 +334,23 @@ def slot_transpose_raw(graph, v, mn_j, mx_j, tn, tx,
                 d1, d2 = jax.lax.optimization_barrier((d1, d2))
             return d1 + d2
 
-        def body(d, acc):
-            nbr_row = nbr_ref[0, pl.ds(d, 1), :]
-            oh = (rows_w == nbr_row).astype(jnp.bfloat16)
-            g = _sel(oh, v_scr[:], interpret)
-            e = jnp.where(g == mn, tn_, 0.0) + jnp.where(g == mx, tx_, 0.0)
+        def body(c, acc):
+            row = nbr_ref[0, pl.ds(c, 1), :]
+            oh = (rows_w == row).astype(jnp.bfloat16)
+            G = _sel(oh, v_scr[:], interpret)  # [DC*TN, TF]
+            parts = []
+            for d in range(DC):
+                g = G[d * TN : (d + 1) * TN, :]
+                parts.append(
+                    jnp.where(g == mn, tn_, 0.0)
+                    + jnp.where(g == mx, tx_, 0.0)
+                )
+            e = jnp.concatenate(parts, axis=0)  # [DC*TN, TF]
             return acc + scatter(oh, e)
 
+        nchunks = (nd_ref[t] + DC - 1) // DC
         acc = jax.lax.fori_loop(
-            0, nd_ref[t], body, jnp.zeros((W, TF), jnp.float32)
+            0, nchunks, body, jnp.zeros((W, TF), jnp.float32)
         )
         o_ref[:PAD, :] = jnp.zeros((PAD, TF), o_ref.dtype)
         o_ref[PAD : PAD + W, :] = acc.astype(o_ref.dtype)
@@ -336,7 +362,7 @@ def slot_transpose_raw(graph, v, mn_j, mx_j, tn, tx,
             num_scalar_prefetch=2,
             grid=(F // TF, T),
             in_specs=[
-                pl.BlockSpec((1, Dmax, TN), lambda f, t, *_: (t, 0, 0)),
+                pl.BlockSpec((1, NC, DC * TN), lambda f, t, *_: (t, 0, 0)),
                 pl.BlockSpec((TN, TF), lambda f, t, *_: (t, f)),
                 pl.BlockSpec((TN, TF), lambda f, t, *_: (t, f)),
                 pl.BlockSpec((TN, TF), lambda f, t, *_: (t, f)),
@@ -353,7 +379,7 @@ def slot_transpose_raw(graph, v, mn_j, mx_j, tn, tx,
         ),
         out_shape=jax.ShapeDtypeStruct((T * (W + 2 * PAD), F), out_dt),
         interpret=interpret,
-    )(win, nd, nbr, mn_j, mx_j, tn, tx, v)
+    )(win, nd, nbr2, mn_j, mx_j, tn, tx, v)
     return combine_window_pallas(
         out, win, n_node, TN, W, pad=PAD, interpret=interpret
     )
