@@ -342,7 +342,7 @@ def main():
     t_start = time.perf_counter()
     # detail configs stop once the budget is spent (compiles through the
     # axon tunnel run 30-90s each; the PNA headline always completes)
-    budget = float(os.environ.get("HYDRAGNN_TPU_BENCH_BUDGET", "520"))
+    budget = float(os.environ.get("HYDRAGNN_TPU_BENCH_BUDGET", "900"))
 
     import jax
 

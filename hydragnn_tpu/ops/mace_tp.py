@@ -103,6 +103,10 @@ def _tp_eval_streamed(terms, mul, x_blk, sh_blk, w_blk, D_out, acc, red_fn,
     for c, xc, shc, wc, oc in terms:
         src, dst = (oc, xc) if transpose else (xc, oc)
         by_out.setdefault(dst, []).append((c, src, shc, wc))
+    # NOTE: caching x*w across dst groups (terms of one CG path share
+    # (src, wc)) was tried in r05 and REVERTED — the long-lived cached
+    # [rows, mul] tensors blew Mosaic's register allocation (compile ran
+    # 17+ minutes, vs ~3 for this form) for a projected ~1.5 ms gain
     for dst in sorted(by_out):
         a = None
         for c, src, shc, wc in by_out[dst]:
